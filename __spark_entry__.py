@@ -3,8 +3,7 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
 """
 
 from __future__ import annotations
@@ -12,27 +11,108 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from graphminer_spark.algorithms.triangles import (
+    clique4_count,
+    per_edge_triangles,
+    triangle_count,
+)
+from graphminer_spark.graph.build import build_dag, degrees, symmetrize
+from graphminer_spark.graph.tpch_edges import tpch_edges
+from graphminer_spark.oracle_sql import graph_query
+
+SF0001 = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: per-edge triangle counts over the edge table
+    derived from sf0.001 (north-rule TC output)."""
+    edges = tpch_edges(spark, SF0001)
+    dag = build_dag(edges)
+    return per_edge_triangles(edges, dag)
+
+
+# ---------------------------------------------------------------- queries
+
+
+def _q_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tpch_edges(spark, sf_dir)
+
+
+def _q_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return degrees(symmetrize(tpch_edges(spark, sf_dir), dedup=False))
+
+
+def _q_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    deg = _q_degrees(spark, sf_dir)
+    return deg.groupBy("deg").agg(F.count("*").alias("n_vertices"))
+
+
+def _q_dag_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return build_dag(tpch_edges(spark, sf_dir))
+
+
+def _q_tc_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return triangle_count(build_dag(tpch_edges(spark, sf_dir)))
+
+
+def _q_tc_per_edge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = tpch_edges(spark, sf_dir)
+    return per_edge_triangles(edges, build_dag(edges))
+
+
+def _q_clique4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return clique4_count(build_dag(tpch_edges(spark, sf_dir)))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "graph_edges": _q_edges,
+        "graph_degrees": _q_degrees,
+        "graph_degree_hist": _q_degree_hist,
+        "graph_dag": _q_dag_edges,
+        "tc_total": _q_tc_total,
+        "tc_per_edge": _q_tc_per_edge,
+        "clique4_total": _q_clique4,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "graph_edges": graph_query("SELECT src, dst FROM edges"),
+        "graph_degrees": graph_query("SELECT id, deg FROM deg"),
+        "graph_degree_hist": graph_query(
+            "SELECT deg, count(*) AS n_vertices FROM deg GROUP BY deg"
+        ),
+        "graph_dag": graph_query("SELECT src, dst FROM dag"),
+        "tc_total": graph_query(
+            "SELECT count(*) AS n_triangles FROM tri", with_tri=True
+        ),
+        "tc_per_edge": graph_query(
+            """
+            SELECT e.src, e.dst, coalesce(t.tri_cnt, 0) AS tri_cnt
+            FROM edges e
+            LEFT JOIN (
+              SELECT least(a, b) AS src, greatest(a, b) AS dst,
+                     count(*) AS tri_cnt
+              FROM (
+                SELECT u AS a, v AS b FROM tri
+                UNION ALL SELECT v AS a, w AS b FROM tri
+                UNION ALL SELECT u AS a, w AS b FROM tri
+              )
+              GROUP BY 1, 2
+            ) t ON t.src = e.src AND t.dst = e.dst
+            """,
+            with_tri=True,
+        ),
+        "clique4_total": graph_query(
+            """
+            SELECT count(*) AS n_4cliques FROM tri
+            JOIN dag e4 ON e4.src = tri.u
+            JOIN dag e5 ON e5.src = tri.v AND e5.dst = e4.dst
+            JOIN dag e6 ON e6.src = tri.w AND e6.dst = e4.dst
+            """,
+            with_tri=True,
+        ),
+    }

@@ -1,0 +1,92 @@
+"""Triangle counting as joins over the degree-ordered DAG.
+
+Reference semantics: ``src/triangle/omp_base.cc:5-26`` — for each
+vertex u, for each v ∈ N⁺(u), count ``|N⁺(u) ∩ N⁺(v)|`` over the
+DAG-oriented graph (``USE_DAG=1`` default, ``src/triangle/main.cc:14``).
+The sorted-list merge-intersection becomes a relational join; the DAG
+orientation (``build_dag``) guarantees each triangle is enumerated
+exactly once as u→v→w with (deg,id)-order u < v < w.
+
+Physical strategy
+-----------------
+The wedge join (e1 ⋈ e2 on ``e1.dst = e2.src``) dominates: its output
+is Σ_v indeg(v)·outdeg(v). Degree-ordering bounds DAG out-degree at
+O(√m) for power-law graphs (the same reason the reference defaults to
+DAG mode — ``src/triangle/README.md:13-17``), so the wedge join stays
+tractable at 100 TB where a raw-orientation join would not. AQE's skew
+join splits any residual hot ``e1.dst`` partitions. Counter widths:
+global counts use ``sum`` over per-group longs and are exposed as
+``decimal(38,0)`` upstream when graphs approach uint64 scale
+(``src/count/README.md:51`` reaches 2.4e18).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def enumerate_triangles(dag: DataFrame) -> DataFrame:
+    """All triangles, one row each: ``(u, v, w)`` in DAG order.
+
+    Two shuffle hash joins; Catalyst pushes the equi-conditions into
+    the join keys, nothing is re-shuffled between the wedge join and
+    the closing join (both keyed compatibly on the probe side).
+    """
+    e1 = dag.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    e2 = dag.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    e3 = dag.select(F.col("src").alias("u"), F.col("dst").alias("w"))
+    wedges = e1.join(e2, "v")
+    return wedges.join(e3, ["u", "w"]).select("u", "v", "w")
+
+
+def triangle_count(dag: DataFrame) -> DataFrame:
+    """Total triangle count → single row ``(n_triangles: long)``."""
+    return enumerate_triangles(dag).agg(F.count("*").alias("n_triangles"))
+
+
+def per_edge_triangles(
+    canonical_edges: DataFrame, dag: DataFrame, include_zero: bool = True
+) -> DataFrame:
+    """Per-edge triangle counts (the north rule's TC output).
+
+    Each triangle {u,v,w} contributes +1 to each of its three edges.
+    Output: ``(src, dst, tri_cnt)`` over canonical (src<dst) edges;
+    edges on no triangle appear with 0 when ``include_zero``.
+    """
+    tri = enumerate_triangles(dag)
+    sides = (
+        tri.select(F.col("u").alias("a"), F.col("v").alias("b"))
+        .unionByName(tri.select(F.col("v").alias("a"), F.col("w").alias("b")))
+        .unionByName(tri.select(F.col("u").alias("a"), F.col("w").alias("b")))
+    )
+    counts = (
+        sides.select(
+            F.least("a", "b").alias("src"), F.greatest("a", "b").alias("dst")
+        )
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("tri_cnt"))
+    )
+    if not include_zero:
+        return counts
+    return (
+        canonical_edges.join(counts, ["src", "dst"], "left")
+        .select(
+            "src", "dst", F.coalesce("tri_cnt", F.lit(0)).alias("tri_cnt")
+        )
+    )
+
+
+def clique4_count(dag: DataFrame) -> DataFrame:
+    """4-clique count: extend each triangle by a common out-neighbor.
+
+    Reference: ``src/clique/cpu_kernels/clique_base.h`` (k=4) — one more
+    bounded intersection per level; here one more join per level.
+    Output: single row ``(n_4cliques: long)``.
+    """
+    tri = enumerate_triangles(dag)
+    e_u = dag.select(F.col("src").alias("u"), F.col("dst").alias("x"))
+    e_v = dag.select(F.col("src").alias("v"), F.col("dst").alias("x"))
+    e_w = dag.select(F.col("src").alias("w"), F.col("dst").alias("x"))
+    quads = tri.join(e_u, "u").join(e_v, ["v", "x"]).join(e_w, ["w", "x"])
+    return quads.agg(F.count("*").alias("n_4cliques"))

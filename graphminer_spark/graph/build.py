@@ -1,0 +1,127 @@
+"""Graph construction / preprocessing operators.
+
+The reference's ``Graph`` constructor pipeline (meta parse → CSR scan →
+``sort_neighbors`` → ``orientation``; ``/root/reference/src/common/
+graph.cc:4-124,138-146,233-279``) re-expressed over a canonical edge
+DataFrame ``edges(src: long, dst: long)``.
+
+Scale notes
+-----------
+* ``symmetrize``/``degrees`` are single-shuffle; degrees reuse the
+  symmetric table's partitioning when executed back to back.
+* ``build_dag`` is THE symmetry-breaking rewrite for triangle/clique
+  counting: orient each undirected edge from the lower-(degree, id)
+  endpoint to the higher, exactly like ``Graph::orientation``
+  (``graph.cc:233-279``). On web graphs this bounds out-degree by
+  O(sqrt(m)) for the long tail, which is what keeps the wedge join's
+  skew manageable at 100 TB.
+* The degree table is tiny relative to edges (one row per vertex) —
+  broadcast it into the orientation join instead of shuffling edges
+  twice.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def symmetrize(edges: DataFrame, dedup: bool = True) -> DataFrame:
+    """Undirected view: every edge in both directions, no self-loops.
+
+    Mirrors ``Graph::init_edgelist``'s self-loop drop
+    (``src/common/graph.cc:310``). ``dedup=False`` skips the distinct
+    when the input is already a canonical ``src < dst`` edge list
+    (union of two disjoint orientations needs no shuffle for dedup).
+    """
+    fwd = edges.select("src", "dst")
+    rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    sym = fwd.unionByName(rev).filter(F.col("src") != F.col("dst"))
+    return sym.distinct() if dedup else sym
+
+
+def degrees(sym_edges: DataFrame) -> DataFrame:
+    """Per-vertex degree over a symmetric edge table → ``(id, deg)``.
+
+    Reference: ``Graph::get_degree`` / ``compute_max_degree``
+    (``include/graph.h:76``, ``src/common/graph.cc:219-231``).
+    """
+    return sym_edges.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("deg"))
+
+
+def build_dag(canonical_edges: DataFrame, deg: DataFrame | None = None) -> DataFrame:
+    """Degree-ordered orientation of an undirected graph.
+
+    Input: canonical edge list (``src < dst``, one row per undirected
+    edge). Output: one directed edge per undirected edge, u→v iff
+    ``(deg(v), v) > (deg(u), u)`` — the total order used by the
+    reference's ``Graph::orientation`` (``src/common/graph.cc:245-247``).
+
+    Physical plan: two broadcast hash joins against the (small) degree
+    table — the edge table is never shuffled.
+    """
+    if deg is None:
+        deg = degrees(symmetrize(canonical_edges, dedup=False))
+    deg_u = deg.select(F.col("id").alias("src"), F.col("deg").alias("deg_src"))
+    deg_v = deg.select(F.col("id").alias("dst"), F.col("deg").alias("deg_dst"))
+    e = (
+        canonical_edges.join(F.broadcast(deg_u), "src")
+        .join(F.broadcast(deg_v), "dst")
+    )
+    keep_forward = (F.col("deg_dst") > F.col("deg_src")) | (
+        (F.col("deg_dst") == F.col("deg_src")) & (F.col("dst") > F.col("src"))
+    )
+    return e.select(
+        F.when(keep_forward, F.col("src")).otherwise(F.col("dst")).alias("src"),
+        F.when(keep_forward, F.col("dst")).otherwise(F.col("src")).alias("dst"),
+    )
+
+
+def csr_blocks(sym_edges: DataFrame, num_blocks: int = 32) -> DataFrame:
+    """Per-partition CSR blocks: ``(block, src, nbrs sorted array)``.
+
+    The distributed analogue of the reference's CSR segmenting
+    (``src/common/graph_partition.cc:138-226``): vertices are hash-
+    assigned to blocks; each row carries one vertex's sorted adjacency
+    run, consumable by Arrow pandas UDFs as numpy (offsets, indices)
+    pairs. Sorted order mirrors ``Graph::sort_neighbors``
+    (``graph.cc:138-146``).
+    """
+    return (
+        sym_edges.groupBy("src")
+        .agg(F.sort_array(F.collect_list("dst")).alias("nbrs"))
+        .withColumn("block", F.pmod(F.hash("src"), F.lit(num_blocks)))
+        .select("block", "src", "nbrs")
+    )
+
+
+def split_hubs(deg: DataFrame, threshold: int) -> tuple[DataFrame, DataFrame]:
+    """Hub/tail split at a degree threshold.
+
+    Precedent: the reference's matrix kernel H/L split
+    (``src/matrix/triangle/omp_mm.cpp:137-155``) — hubs get a different
+    physical strategy (broadcast / salted replicas) than the long tail.
+    Returns ``(hubs, tail)`` degree tables.
+    """
+    hubs = deg.filter(F.col("deg") > threshold)
+    tail = deg.filter(F.col("deg") <= threshold)
+    return hubs, tail
+
+
+def salt_edges(edges: DataFrame, hubs: DataFrame, num_salts: int) -> DataFrame:
+    """Add a ``salt`` column spreading hub-src rows across ``num_salts``
+    shuffle keys; non-hub rows get salt 0. Aggregations over salted
+    data must re-aggregate partial results over (src) afterwards.
+    """
+    hub_ids = F.broadcast(hubs.select(F.col("id").alias("src"), F.lit(True).alias("_is_hub")))
+    return (
+        edges.join(hub_ids, "src", "left")
+        .withColumn(
+            "salt",
+            F.when(
+                F.col("_is_hub").isNotNull(),
+                F.pmod(F.hash("dst"), F.lit(num_salts)),
+            ).otherwise(F.lit(0)),
+        )
+        .drop("_is_hub")
+    )

@@ -1,0 +1,72 @@
+"""Deterministic edge-table derivation from the driver's testdata.
+
+The correctness gate compares our Spark queries against DuckDB SQL over
+the same parquet tables, so the benchmark graph must be *derivable in
+pure ANSI SQL*. We fold ``lineitem`` keys into a vertex id space whose
+size scales with the data (constant average degree across scale
+factors) — integer arithmetic only, so Spark and DuckDB agree exactly.
+
+Edge rule (canonical undirected edge list, ``src < dst``)::
+
+    V   = greatest(100, count(lineitem) / 60)          -- vertex universe
+    a   = l_orderkey              % V
+    b   = (l_partkey + 7*l_suppkey + 13*l_linenumber) % V
+    keep a != b; src = least(a,b); dst = greatest(a,b); DISTINCT
+
+This plays the role of the reference's external graph converters
+(``/root/reference/README.md:104-116``: mtx/txt → CSR binary): an
+ingest step producing the canonical edge table every algorithm consumes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+VERTEX_DIVISOR = 60
+MIN_VERTICES = 100
+
+# SQL fragment (ANSI, runs in DuckDB and Spark alike) producing the
+# canonical undirected edge list (src BIGINT, dst BIGINT, src < dst).
+EDGES_SQL = f"""
+WITH _v AS (
+  SELECT greatest({MIN_VERTICES}, count(*) // {VERTEX_DIVISOR}) AS nv FROM lineitem
+),
+_raw AS (
+  SELECT l_orderkey % nv AS a,
+         (l_partkey + 7 * l_suppkey + 13 * l_linenumber) % nv AS b
+  FROM lineitem CROSS JOIN _v
+),
+edges AS (
+  SELECT DISTINCT least(a, b) AS src, greatest(a, b) AS dst
+  FROM _raw WHERE a <> b
+)
+""".strip()
+
+
+def tpch_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical undirected edge list from ``{sf_dir}/lineitem.parquet``.
+
+    Uses integer-only expressions; ``//`` (integer division) matches
+    DuckDB's BIGINT ``/`` on BIGINT inputs.
+    """
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"
+    )
+    n = li.count()  # single scalar aggregate; drives the id-space size
+    nv = max(MIN_VERTICES, n // VERTEX_DIVISOR)
+    a = F.col("l_orderkey") % F.lit(nv)
+    b = (
+        F.col("l_partkey")
+        + F.lit(7) * F.col("l_suppkey")
+        + F.lit(13) * F.col("l_linenumber").cast("long")
+    ) % F.lit(nv)
+    return (
+        li.select(a.alias("a"), b.alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").cast("long").alias("src"),
+            F.greatest("a", "b").cast("long").alias("dst"),
+        )
+        .distinct()
+    )
