@@ -13,6 +13,9 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from graphminer_spark.algorithms.components import connected_components
+from graphminer_spark.algorithms.labelprop import label_propagation
+from graphminer_spark.algorithms.pagerank import pagerank
 from graphminer_spark.algorithms.triangles import (
     clique4_count,
     per_edge_triangles,
@@ -20,7 +23,7 @@ from graphminer_spark.algorithms.triangles import (
 )
 from graphminer_spark.graph.build import build_dag, degrees, symmetrize
 from graphminer_spark.graph.tpch_edges import tpch_edges
-from graphminer_spark.oracle_sql import graph_query
+from graphminer_spark.oracle_sql import CC_SQL, graph_query, lp_sql, pagerank_sql
 
 SF0001 = "/root/testdata/sf0.001"
 
@@ -66,6 +69,38 @@ def _q_clique4(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clique4_count(build_dag(tpch_edges(spark, sf_dir)))
 
 
+def _graph_vertices(spark: SparkSession, sf_dir: str):
+    edges = tpch_edges(spark, sf_dir)
+    sym = symmetrize(edges, dedup=False)
+    return edges, sym, degrees(sym).select("id")
+
+
+def _q_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges, _, verts = _graph_vertices(spark, sf_dir)
+    return connected_components(edges, verts)
+
+
+def _q_cc_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _q_cc(spark, sf_dir)
+        .groupBy("component")
+        .agg(F.count("*").alias("n_members"))
+    )
+
+
+def _q_lp2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, sym, verts = _graph_vertices(spark, sf_dir)
+    return label_propagation(sym, verts, n_iter=2).labels
+
+
+def _q_pagerank5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges, _, verts = _graph_vertices(spark, sf_dir)
+    res = pagerank(edges, verts, tol=0.0, max_iter=5)
+    return res.ranks.select(
+        "id", F.format_string("%.6f", F.col("rank")).alias("rank_s")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "graph_edges": _q_edges,
@@ -75,6 +110,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tc_total": _q_tc_total,
         "tc_per_edge": _q_tc_per_edge,
         "clique4_total": _q_clique4,
+        "cc_components": _q_cc,
+        "cc_sizes": _q_cc_sizes,
+        "lp_labels_2iter": _q_lp2,
+        "pagerank_5iter": _q_pagerank5,
     }
 
 
@@ -115,4 +154,11 @@ def oracle_sql() -> dict[str, str]:
             """,
             with_tri=True,
         ),
+        "cc_components": CC_SQL,
+        "cc_sizes": (
+            f"WITH _cc AS ({CC_SQL}) "
+            "SELECT component, count(*) AS n_members FROM _cc GROUP BY component"
+        ),
+        "lp_labels_2iter": lp_sql(2),
+        "pagerank_5iter": pagerank_sql(5),
     }

@@ -1,0 +1,77 @@
+"""Synchronous label propagation with deterministic tie-breaking.
+
+Each superstep every vertex adopts the most frequent label among its
+neighbors; ties break to the smallest label (so results are bitwise
+identical at any parallelism — the cross-implementation agreement the
+reference gets from redundant kernels, ``SURVEY.md §5``). Vertices
+with no neighbors keep their label. Initial label = vertex id.
+
+One superstep = join(labels) + two aggregations:
+``groupBy(dst, label).count()`` then an argmax via ``max_by`` on the
+struct (count, -label) — no window function, so the per-vertex argmax
+is a partial-aggregatable single shuffle rather than a sort.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from graphminer_spark.checkpoint import CheckpointManager
+
+
+@dataclass
+class LabelPropResult:
+    labels: DataFrame  # (id, label)
+    iterations: int
+    converged: bool
+    changed: list[int] = field(default_factory=list)
+
+
+def label_propagation(
+    sym_edges: DataFrame,
+    vertices: DataFrame,
+    n_iter: int = 10,
+    checkpointer: CheckpointManager | None = None,
+    until_stable: bool = False,
+) -> LabelPropResult:
+    """LP over a symmetric edge table. ``until_stable`` stops early when
+    no label changes (convergence metric = changed-vertex count)."""
+    ckpt = checkpointer or CheckpointManager(None)
+    e = sym_edges.select("src", "dst").repartition("dst").persist()
+    e.count()
+    labels = vertices.select("id", F.col("id").alias("label"))
+    labels = ckpt.save(labels, 0, {"algo": "lp"})
+    changed_hist: list[int] = []
+    converged = False
+    it = 0
+    for it in range(1, n_iter + 1):
+        counts = (
+            e.join(labels, e["src"] == labels["id"])
+            .groupBy(F.col("dst"), F.col("label"))
+            .agg(F.count("*").alias("cnt"))
+        )
+        # argmax by (cnt, -label): max count, ties → smallest label
+        best = counts.groupBy(F.col("dst").alias("id")).agg(
+            F.max_by(
+                F.col("label"), F.struct(F.col("cnt"), (-F.col("label")).alias("nl"))
+            ).alias("new_label")
+        )
+        new = (
+            labels.join(best, "id", "left")
+            .select("id", F.coalesce("new_label", F.col("label")).alias("label"))
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        changed_hist.append(changed)
+        labels = ckpt.save(new, it, {"algo": "lp", "changed": changed})
+        if until_stable and changed == 0:
+            converged = True
+            break
+    return LabelPropResult(labels, it, converged, changed_hist)

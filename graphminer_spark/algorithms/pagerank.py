@@ -1,0 +1,220 @@
+"""PageRank: power iteration with dangling-mass redistribution.
+
+Two physical strategies over the same math (rank' = (1-d)/N +
+d·(Σ in-contribs + dangling/N)):
+
+* ``pagerank`` — pure DataFrame joins: ranks ⋈ out-degree ⋈ edges →
+  groupBy(dst).sum. One shuffle for the contribution aggregate per
+  superstep; the edges table is persisted and its shuffle exchange
+  reused across supersteps. Whole-stage-codegen'd end to end, no
+  Python in the loop.
+* ``pagerank_csr`` — the north-star gather-scatter: ranks join the
+  per-block CSR adjacency (one row per *vertex*, not per edge), and an
+  Arrow-batched ``applyInPandas`` scatters rank/outdeg over each
+  block's numpy adjacency with ``np.add.at`` — a map-side combine that
+  shrinks the shuffle from O(edges) rows to O(distinct dst per block).
+
+Dangling vertices (no out-links — very common on the web) surrender
+their mass to the uniform distribution each superstep; the scalar is a
+single ``agg(sum)`` folded into the next iteration's constant term, so
+``sum(rank) == 1`` holds at every step (asserted in tests).
+
+Convergence: L1 delta < tol (north rule: per-vertex allclose 1e-6).
+State checkpoints via :class:`CheckpointManager` → resumable.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from graphminer_spark.checkpoint import CheckpointManager
+
+
+@dataclass
+class PageRankResult:
+    ranks: DataFrame  # (id, rank)
+    iterations: int
+    converged: bool
+    deltas: list[float] = field(default_factory=list)
+
+
+def _prepare(edges: DataFrame, vertices: DataFrame):
+    out_deg = edges.groupBy(F.col("src").alias("id")).agg(
+        F.count("*").alias("out_deg")
+    )
+    verts = vertices.select("id").join(out_deg, "id", "left").select(
+        "id", F.coalesce("out_deg", F.lit(0)).alias("out_deg")
+    )
+    return verts
+
+
+def pagerank(
+    edges: DataFrame,
+    vertices: DataFrame,
+    damping: float = 0.85,
+    tol: float = 1e-6,
+    max_iter: int = 100,
+    checkpointer: CheckpointManager | None = None,
+    resume: bool = False,
+) -> PageRankResult:
+    """Directed PageRank over ``edges(src,dst)`` / ``vertices(id)``.
+
+    Returns ranks summing to 1.0. ``resume=True`` continues from the
+    checkpointer's latest durable state (north-rule resumability).
+    """
+    spark = edges.sparkSession
+    ckpt = checkpointer or CheckpointManager(None)
+    n = vertices.count()
+    verts = _prepare(edges, vertices)
+    # edges partitioned by src and persisted: every superstep's
+    # ranks⋈edges join reuses this layout instead of re-scanning.
+    e = edges.select("src", "dst").repartition("src").persist()
+    e.count()
+    verts = verts.persist()
+
+    start_iter = 0
+    ranks = None
+    if resume:
+        latest = ckpt.latest(spark)
+        if latest is not None:
+            start_iter, ranks = latest
+    if ranks is None:
+        ranks = verts.select("id", F.lit(1.0 / n).alias("rank"))
+        ranks = ckpt.save(ranks, 0, {"algo": "pagerank", "delta": float("inf")})
+
+    deltas: list[float] = []
+    converged = False
+    it = start_iter
+    for it in range(start_iter + 1, max_iter + 1):
+        state = ranks.join(verts, "id")
+        dangling = (
+            state.filter(F.col("out_deg") == 0)
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+            .collect()[0][0]
+        )
+        contribs = (
+            state.filter(F.col("out_deg") > 0)
+            .select("id", (F.col("rank") / F.col("out_deg")).alias("share"))
+            .join(e, F.col("id") == e["src"])
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("share").alias("contrib"))
+        )
+        base = (1.0 - damping) / n + damping * dangling / n
+        new_ranks = (
+            verts.select("id")
+            .join(contribs, "id", "left")
+            .select(
+                "id",
+                (
+                    F.lit(base)
+                    + F.lit(damping) * F.coalesce("contrib", F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+        delta = (
+            new_ranks.alias("n")
+            .join(ranks.alias("o"), "id")
+            .agg(F.sum(F.abs(F.col("n.rank") - F.col("o.rank"))))
+            .collect()[0][0]
+        )
+        deltas.append(float(delta))
+        ranks = ckpt.save(
+            new_ranks, it, {"algo": "pagerank", "delta": float(delta)}
+        )
+        if delta < tol:
+            converged = True
+            break
+    if ckpt.base_dir and it % ckpt.every != 0:
+        # last iteration fell between durable checkpoints — persist it
+        # (same-iteration re-save would overwrite the path being read)
+        ranks = ckpt.save(ranks, it, {"algo": "pagerank", "final": True}, force=True)
+    return PageRankResult(ranks, it, converged, deltas)
+
+
+# ------------------------------------------------------------------ CSR path
+
+
+def pagerank_csr(
+    csr: DataFrame,
+    vertices: DataFrame,
+    damping: float = 0.85,
+    tol: float = 1e-6,
+    max_iter: int = 100,
+    checkpointer: CheckpointManager | None = None,
+) -> PageRankResult:
+    """Gather-scatter PageRank over CSR blocks (``graph.build.csr_blocks``
+    output: ``(block, src, nbrs)`` with nbrs = sorted out-neighbors).
+
+    Each superstep: ranks join CSR rows on src (one row per vertex),
+    then per-block ``applyInPandas`` scatters ``rank/out_deg`` to every
+    neighbor with numpy, emitting per-block *partial sums* per dst —
+    the map-side combine the pure-join plan lacks. Python touches data
+    only through Arrow batches (north-rule: no per-row Python).
+    """
+    import numpy as np
+
+    spark = csr.sparkSession
+    ckpt = checkpointer or CheckpointManager(None)
+    n = vertices.count()
+    csr = csr.persist()
+    csr.count()
+
+    def scatter(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf.empty:
+            return pd.DataFrame({"id": np.array([], dtype=np.int64), "contrib": np.array([], dtype=np.float64)})
+        nbr_arrays = pdf["nbrs"].to_numpy()
+        lens = np.fromiter((len(a) for a in nbr_arrays), dtype=np.int64, count=len(nbr_arrays))
+        flat = np.concatenate([np.asarray(a, dtype=np.int64) for a in nbr_arrays])
+        share = (pdf["rank"].to_numpy() / lens).repeat(lens)
+        ids, inv = np.unique(flat, return_inverse=True)
+        sums = np.zeros(len(ids), dtype=np.float64)
+        np.add.at(sums, inv, share)
+        return pd.DataFrame({"id": ids, "contrib": sums})
+
+    ranks = vertices.select("id", F.lit(1.0 / n).alias("rank"))
+    ranks = ckpt.save(ranks, 0, {"algo": "pagerank_csr"})
+    has_out = csr.select(F.col("src").alias("id")).distinct()
+    deltas: list[float] = []
+    converged = False
+    it = 0
+    for it in range(1, max_iter + 1):
+        dangling = (
+            ranks.join(has_out, "id", "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+            .collect()[0][0]
+        )
+        joined = csr.join(ranks, csr["src"] == ranks["id"]).select(
+            "block", "nbrs", "rank"
+        )
+        partials = joined.groupBy("block").applyInPandas(
+            scatter, schema="id long, contrib double"
+        )
+        contribs = partials.groupBy("id").agg(F.sum("contrib").alias("contrib"))
+        base = (1.0 - damping) / n + damping * dangling / n
+        new_ranks = (
+            vertices.select("id")
+            .join(contribs, "id", "left")
+            .select(
+                "id",
+                (
+                    F.lit(base)
+                    + F.lit(damping) * F.coalesce("contrib", F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+        delta = (
+            new_ranks.alias("n")
+            .join(ranks.alias("o"), "id")
+            .agg(F.sum(F.abs(F.col("n.rank") - F.col("o.rank"))))
+            .collect()[0][0]
+        )
+        deltas.append(float(delta))
+        ranks = ckpt.save(new_ranks, it, {"algo": "pagerank_csr", "delta": float(delta)})
+        if delta < tol:
+            converged = True
+            break
+    return PageRankResult(ranks, it, converged, deltas)

@@ -100,9 +100,8 @@ def sync_label_propagation(
     neighbor label with max count, ties broken by min label; vertices
     with no neighbors keep their label. Initial label = vertex id."""
     adj: dict[int, list[int]] = {v: [] for v in vertices}
-    for a, b in edges:
-        if a == b:
-            continue
+    canon = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    for a, b in canon:
         adj.setdefault(a, []).append(b)
         adj.setdefault(b, []).append(a)
     label = {v: v for v in adj}

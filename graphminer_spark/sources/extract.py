@@ -1,0 +1,91 @@
+"""HTML → text + href extraction (the engine's ingest operator).
+
+The reference ingests graphs through out-of-repo converters
+(``/root/reference/README.md:104-116``); our equivalent turns a pages
+table into the canonical edge table. Extraction runs as a single
+``mapInPandas`` pass (Arrow-batched; Python never sees a row at a
+time) and must reproduce the ``text`` column **byte-identically** —
+the graft's per-row invariant, asserted via SHA-256 in tests.
+
+Extraction spec (deterministic, dependency-free):
+* text  = inner text of each ``<p>…</p>`` block in document order,
+  tags stripped, blocks joined with ``\\n``.
+* hrefs = every ``<a href="…">`` target in document order.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_P_BLOCK = re.compile(r"<p>(.*?)</p>", re.DOTALL)
+_TAG = re.compile(r"<[^>]+>")
+_HREF = re.compile(r'<a href="([^"]+)"')
+
+EXTRACT_SCHEMA = "url string, text string, hrefs array<string>"
+
+
+def extract_text(html: str) -> str:
+    return "\n".join(_TAG.sub("", m) for m in _P_BLOCK.findall(html))
+
+
+def extract_hrefs(html: str) -> list[str]:
+    return _HREF.findall(html)
+
+
+def extract_pages(pages: DataFrame) -> DataFrame:
+    """``(url, html)`` → ``(url, text, hrefs)`` via Arrow batches."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            htmls = [h.decode("utf-8") for h in pdf["html"]]
+            yield pd.DataFrame(
+                {
+                    "url": pdf["url"].to_numpy(),
+                    "text": [extract_text(h) for h in htmls],
+                    "hrefs": [extract_hrefs(h) for h in htmls],
+                }
+            )
+
+    return pages.select("url", "html").mapInPandas(run, schema=EXTRACT_SCHEMA)
+
+
+def build_link_graph(pages: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Pages → ``(vertices(id, url), edges(src, dst))``.
+
+    Ids are stable 64-bit ``xxhash64(url)`` values — no global sort or
+    single-partition window, so id-encoding scales linearly; the
+    collision audit is the caller's job (``audit_id_collisions``).
+    Edges keep only targets that exist in the corpus (semi-join on
+    vertices), drop self-loops, and dedup.
+    """
+    extracted = extract_pages(pages)
+    vertices = pages.select(
+        F.xxhash64("url").alias("id"), "url"
+    ).distinct()
+    raw = (
+        extracted.select("url", F.explode("hrefs").alias("target"))
+        .select(
+            F.xxhash64("url").alias("src"), F.xxhash64("target").alias("dst")
+        )
+    )
+    edges = (
+        raw.join(vertices.select(F.col("id").alias("dst")), "dst", "left_semi")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    return vertices, edges
+
+
+def audit_id_collisions(vertices: DataFrame) -> int:
+    """xxhash64 collision audit: #distinct urls − #distinct ids (must
+    be 0; at 10^12 urls the expected number of 64-bit collisions is
+    ~0.03, and a nonzero audit falls back to salted re-hash upstream)."""
+    row = vertices.agg(
+        (F.countDistinct("url") - F.countDistinct("id")).alias("c")
+    ).collect()[0]
+    return int(row["c"])

@@ -1,0 +1,174 @@
+"""CC / PageRank / LP vs pure-python oracles, plus checkpoint/resume
+and parallelism-invariance (FIXTURES.md §3, §5)."""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from graphminer_spark.algorithms.components import cc_hashmin, connected_components
+from graphminer_spark.algorithms.labelprop import label_propagation
+from graphminer_spark.algorithms.pagerank import pagerank, pagerank_csr
+from graphminer_spark.checkpoint import CheckpointManager
+from graphminer_spark.graph.build import csr_blocks, symmetrize
+from graphminer_spark.oracles import (
+    dense_pagerank,
+    sync_label_propagation,
+    union_find_cc,
+)
+from tests.conftest import edges_df
+
+TWO_CLIQUES = [
+    (a, b) for c in (0, 5) for a in range(c, c + 5) for b in range(a + 1, c + 5)
+]
+
+
+def _random_graph(n, m, seed):
+    rng = random.Random(seed)
+    return [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+
+
+def _verts(spark, n):
+    return spark.range(n).select(F.col("id"))
+
+
+# ----------------------------------------------------------------- CC
+
+
+def test_cc_two_cliques_plus_isolated(spark):
+    df = edges_df(spark, TWO_CLIQUES)
+    verts = _verts(spark, 12)  # 10,11 isolated
+    got = {
+        (r["id"], r["component"])
+        for r in connected_components(df, verts).collect()
+    }
+    expect = {(i, 0) for i in range(5)} | {(i, 5) for i in range(5, 10)}
+    expect |= {(10, 10), (11, 11)}
+    assert got == expect
+
+
+@pytest.mark.parametrize("seed", [3, 17])
+def test_cc_random_vs_union_find(spark, seed):
+    # sparse → many components
+    edges = _random_graph(300, 150, seed)
+    verts = list(range(300))
+    oracle = union_find_cc(verts, edges)
+    df = edges_df(spark, edges)
+    vdf = _verts(spark, 300)
+    got = {r["id"]: r["component"] for r in connected_components(df, vdf).collect()}
+    assert got == oracle
+    got2 = {
+        r["id"]: r["component"]
+        for r in cc_hashmin(symmetrize(df, dedup=False), vdf).collect()
+    }
+    assert got2 == oracle
+
+
+def test_cc_long_path(spark):
+    # path graph: worst case for hash-min diameter; alternating algo
+    # must converge in O(log^2 n) rounds
+    n = 64
+    df = edges_df(spark, [(i, i + 1) for i in range(n - 1)])
+    labels = connected_components(df).collect()
+    assert {r["component"] for r in labels} == {0}
+    assert len(labels) == n
+
+
+# ------------------------------------------------------------- PageRank
+
+
+def test_pagerank_cycle_uniform(spark):
+    n = 10
+    edges = [(i, (i + 1) % n) for i in range(n)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    res = pagerank(df, _verts(spark, n), tol=1e-10)
+    ranks = {r["id"]: r["rank"] for r in res.ranks.collect()}
+    assert res.converged
+    assert np.allclose(list(ranks.values()), 1.0 / n, atol=1e-8)
+
+
+def test_pagerank_dangling_mass(spark):
+    # chain 0→1→2→3 with 3 dangling: sum(rank) must stay 1.0
+    df = spark.createDataFrame([(0, 1), (1, 2), (2, 3)], "src long, dst long")
+    res = pagerank(df, _verts(spark, 4), tol=1e-9)
+    total = res.ranks.agg(F.sum("rank")).collect()[0][0]
+    assert abs(total - 1.0) < 1e-9
+    oracle = dense_pagerank(4, [(0, 1), (1, 2), (2, 3)], tol=1e-9)
+    got = {r["id"]: r["rank"] for r in res.ranks.collect()}
+    assert np.allclose([got[i] for i in range(4)], oracle, atol=1e-6)
+
+
+def test_pagerank_random_vs_dense_oracle(spark):
+    n, m = 80, 400
+    edges = list({e for e in _random_graph(n, m, 11) if e[0] != e[1]})
+    df = spark.createDataFrame(edges, "src long, dst long")
+    res = pagerank(df, _verts(spark, n), tol=1e-8)
+    oracle = dense_pagerank(n, edges, tol=1e-10)
+    got = {r["id"]: r["rank"] for r in res.ranks.collect()}
+    assert np.allclose([got[i] for i in range(n)], oracle, atol=1e-6)
+
+
+def test_pagerank_csr_matches_join_impl(spark):
+    n, m = 60, 300
+    edges = list({e for e in _random_graph(n, m, 23) if e[0] != e[1]})
+    df = spark.createDataFrame(edges, "src long, dst long")
+    verts = _verts(spark, n)
+    blocks = csr_blocks(df, num_blocks=4)
+    res_csr = pagerank_csr(blocks, verts, tol=1e-8)
+    oracle = dense_pagerank(n, edges, tol=1e-10)
+    got = {r["id"]: r["rank"] for r in res_csr.ranks.collect()}
+    assert np.allclose([got[i] for i in range(n)], oracle, atol=1e-6)
+
+
+def test_pagerank_checkpoint_resume(spark, tmp_path):
+    n, m = 50, 250
+    edges = list({e for e in _random_graph(n, m, 5) if e[0] != e[1]})
+    df = spark.createDataFrame(edges, "src long, dst long")
+    verts = _verts(spark, n)
+    full = pagerank(df, verts, tol=1e-10, max_iter=30)
+
+    ck = CheckpointManager(str(tmp_path / "pr"), every=1)
+    partial = pagerank(df, verts, tol=1e-10, max_iter=5, checkpointer=ck)
+    assert not partial.converged
+    ck2 = CheckpointManager(str(tmp_path / "pr"), every=1)
+    resumed = pagerank(
+        df, verts, tol=1e-10, max_iter=30, checkpointer=ck2, resume=True
+    )
+    a = {r["id"]: r["rank"] for r in full.ranks.collect()}
+    b = {r["id"]: r["rank"] for r in resumed.ranks.collect()}
+    assert np.allclose(
+        [a[i] for i in range(n)], [b[i] for i in range(n)], atol=1e-9
+    )
+    # metrics.jsonl carries per-partition lineage + convergence deltas
+    recs = ck2.metrics()
+    assert any("partitions" in r for r in recs)
+    assert any(r.get("delta", 1) < 1e-10 for r in recs)
+
+
+# ------------------------------------------------------------------- LP
+
+
+def test_lp_matches_oracle(spark):
+    edges = list({e for e in _random_graph(100, 300, 9) if e[0] != e[1]})
+    verts = list(range(100))
+    for iters in (1, 2, 4):
+        oracle = sync_label_propagation(verts, edges, iters)
+        df = symmetrize(edges_df(spark, edges), dedup=False)
+        got = {
+            r["id"]: r["label"]
+            for r in label_propagation(df, _verts(spark, 100), n_iter=iters).labels.collect()
+        }
+        assert got == oracle, f"iters={iters}"
+
+
+def test_lp_two_cliques_converges(spark):
+    df = symmetrize(edges_df(spark, TWO_CLIQUES), dedup=False)
+    res = label_propagation(
+        df, _verts(spark, 10), n_iter=20, until_stable=True
+    )
+    labels = {r["id"]: r["label"] for r in res.labels.collect()}
+    assert set(labels[i] for i in range(5)) == {0}
+    assert set(labels[i] for i in range(5, 10)) == {5}
