@@ -23,7 +23,44 @@ from graphminer_spark.algorithms.triangles import (
 )
 from graphminer_spark.graph.build import build_dag, degrees, symmetrize
 from graphminer_spark.graph.tpch_edges import tpch_edges
-from graphminer_spark.oracle_sql import CC_SQL, graph_query, lp_sql, pagerank_sql
+from graphminer_spark.oracle_sql import (
+    CC_SQL,
+    EXACT_DEDUP_SQL,
+    FINGERPRINT_SQL,
+    SIMHASH_SQL,
+    TOKEN_COUNT_SQL,
+    emb_neardup_sql,
+    graph_query,
+    jaccard_all_pairs_sql,
+    knn_sql,
+    langid_sql,
+    lp_sql,
+    lsh_neardup_sql,
+    minhash_sql,
+    pagerank_sql,
+    quality_sql,
+    simhash_neardup_sql,
+)
+from graphminer_spark.similarity import embedding_neardup, knn_bruteforce
+from graphminer_spark.textops.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    minhash_lsh_dedup,
+    minhash_signatures,
+    simhash64,
+    simhash_near_pairs,
+)
+from graphminer_spark.textops.quality import (
+    LANG_MARKERS,
+    STOPWORDS,
+    fingerprint,
+    language_id,
+    quality_score,
+    token_count,
+)
+
+EMB_DIM = 64
+KNN_K, KNN_QUERIES = 3, 20
 
 SF0001 = "/root/testdata/sf0.001"
 
@@ -101,8 +138,91 @@ def _q_pagerank5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _q_exact_dedup(spark, sf_dir):
+    return exact_dedup(_docs(spark, sf_dir))
+
+
+def _q_token_count(spark, sf_dir):
+    return token_count(_docs(spark, sf_dir))
+
+
+def _q_quality(spark, sf_dir):
+    return quality_score(_docs(spark, sf_dir))
+
+
+def _q_langid(spark, sf_dir):
+    return language_id(_docs(spark, sf_dir))
+
+
+def _q_fingerprint(spark, sf_dir):
+    return fingerprint(_docs(spark, sf_dir))
+
+
+def _q_minhash(spark, sf_dir):
+    return minhash_signatures(_docs(spark, sf_dir), num_hashes=16)
+
+
+def _q_lsh_neardup(spark, sf_dir):
+    out = minhash_lsh_dedup(_docs(spark, sf_dir), threshold=0.5)
+    return out.select(
+        "a", "b", F.format_string("%.6f", F.col("jaccard")).alias("jaccard_s")
+    )
+
+
+def _q_jaccard_pairs(spark, sf_dir):
+    out = jaccard_pairs(_docs(spark, sf_dir), threshold=0.3)
+    return out.select(
+        "a", "b", F.format_string("%.6f", F.col("jaccard")).alias("jaccard_s")
+    )
+
+
+def _q_simhash(spark, sf_dir):
+    return simhash64(_docs(spark, sf_dir))
+
+
+def _q_simhash_neardup(spark, sf_dir):
+    return simhash_near_pairs(_docs(spark, sf_dir), max_hamming=20)
+
+
+def _q_knn(spark, sf_dir):
+    embs = _embs(spark, sf_dir)
+    q = embs.filter(F.col("vec_id") < KNN_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return knn_bruteforce(embs, q, k=KNN_K)
+
+
+def _q_emb_neardup(spark, sf_dir):
+    # 4 planes / τ=0.25 picked so the demo corpus yields non-trivial
+    # output (sf0.01 cosine max ≈ 0.51); production near-dup would use
+    # more planes and τ≈0.95
+    return embedding_neardup(
+        _embs(spark, sf_dir), dim=EMB_DIM, threshold=0.25, n_planes=4
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "docs_exact_dedup": _q_exact_dedup,
+        "docs_token_count": _q_token_count,
+        "docs_quality": _q_quality,
+        "docs_langid": _q_langid,
+        "docs_fingerprint": _q_fingerprint,
+        "docs_minhash_sigs": _q_minhash,
+        "docs_lsh_neardup": _q_lsh_neardup,
+        "docs_jaccard_pairs": _q_jaccard_pairs,
+        "docs_simhash": _q_simhash,
+        "docs_simhash_neardup": _q_simhash_neardup,
+        "emb_knn": _q_knn,
+        "emb_neardup": _q_emb_neardup,
         "graph_edges": _q_edges,
         "graph_degrees": _q_degrees,
         "graph_degree_hist": _q_degree_hist,
@@ -161,4 +281,16 @@ def oracle_sql() -> dict[str, str]:
         ),
         "lp_labels_2iter": lp_sql(2),
         "pagerank_5iter": pagerank_sql(5),
+        "docs_exact_dedup": EXACT_DEDUP_SQL,
+        "docs_token_count": TOKEN_COUNT_SQL,
+        "docs_quality": quality_sql(STOPWORDS),
+        "docs_langid": langid_sql(LANG_MARKERS),
+        "docs_fingerprint": FINGERPRINT_SQL,
+        "docs_minhash_sigs": minhash_sql(16),
+        "docs_lsh_neardup": lsh_neardup_sql(0.5),
+        "docs_jaccard_pairs": jaccard_all_pairs_sql(0.3),
+        "docs_simhash": SIMHASH_SQL,
+        "docs_simhash_neardup": simhash_neardup_sql(20),
+        "emb_knn": knn_sql(KNN_K, KNN_QUERIES),
+        "emb_neardup": emb_neardup_sql(0.25, 4, EMB_DIM),
     }

@@ -1,0 +1,119 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+``{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}``
+plus informational extras (pagerank iterations/hour, edges-scanned/sec,
+graph size). ``BENCH/scaling.py`` runs this at two parallelism levels
+for the north rule's scaling-efficiency evidence.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from graphminer_spark.algorithms.components import connected_components  # noqa: E402
+from graphminer_spark.algorithms.labelprop import label_propagation  # noqa: E402
+from graphminer_spark.algorithms.pagerank import pagerank  # noqa: E402
+from graphminer_spark.algorithms.triangles import (  # noqa: E402
+    per_edge_triangles,
+    triangle_count,
+)
+from graphminer_spark.graph.build import build_dag, degrees, symmetrize  # noqa: E402
+from graphminer_spark.graph.tpch_edges import tpch_edges  # noqa: E402
+from graphminer_spark.session import get_spark  # noqa: E402
+from graphminer_spark.sources.extract import build_link_graph  # noqa: E402
+from graphminer_spark.sources.pages import generate_pages  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    pr_iters = int(os.environ.get("SPARK_GRAFT_PR_ITERS", "0"))  # 0 = to 1e-6
+    spark = get_spark("graphminer-bench", cores=cpus)
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float | int | str] = {"cpus": cpus}
+
+    def timed(name: str, fn):
+        t0 = time.monotonic()
+        out = fn()
+        timings[name] = round(time.monotonic() - t0, 3)
+        return out
+
+    # ---- graph build (once, persisted — algorithms all consume it)
+    def _build():
+        edges = tpch_edges(spark, sf_dir).persist()
+        n_edges = edges.count()
+        sym = symmetrize(edges, dedup=False).persist()
+        sym.count()
+        verts = degrees(sym).select("id").persist()
+        n_verts = verts.count()
+        return edges, sym, verts, n_verts, n_edges
+
+    edges, sym, verts, n_verts, n_edges = timed("graph_build", _build)
+    extras["n_vertices"] = n_verts
+    extras["n_edges"] = n_edges
+
+    # ---- triangle counting (total + per-edge)
+    dag = timed("dag_build", lambda: build_dag(edges).persist())
+    n_tri = timed(
+        "tc_total", lambda: triangle_count(dag).collect()[0]["n_triangles"]
+    )
+    extras["n_triangles"] = int(n_tri)
+    timed("tc_per_edge", lambda: per_edge_triangles(edges, dag).count())
+
+    # ---- PageRank to 1e-6 (north metric: iterations/hour, edges/sec)
+    def _pr():
+        if pr_iters > 0:
+            return pagerank(edges, verts, tol=0.0, max_iter=pr_iters)
+        return pagerank(edges, verts, tol=1e-6, max_iter=60)
+
+    res = timed("pagerank", _pr)
+    extras["pagerank_iterations"] = res.iterations
+    extras["pagerank_converged"] = res.converged
+    extras["pagerank_iters_per_hour"] = round(
+        res.iterations / (timings["pagerank"] / 3600.0), 1
+    )
+    extras["pagerank_edges_scanned_per_sec"] = round(
+        res.iterations * n_edges / timings["pagerank"], 1
+    )
+
+    # ---- connected components / label propagation
+    timed("cc", lambda: connected_components(edges, verts).count())
+    timed("lp_4iter", lambda: label_propagation(sym, verts, n_iter=4).labels.count())
+
+    # ---- ingest: pages → extraction → link graph (Arrow UDF path)
+    def _ingest():
+        pages = generate_pages(spark, 1 << 15, seed=42)
+        v, e = build_link_graph(pages)
+        return e.count()
+
+    extras["ingest_edges"] = int(timed("ingest_32k_pages", _ingest))
+
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "link_graph_suite_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                **extras,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -76,6 +76,13 @@ def pagerank(
     e.count()
     verts = verts.persist()
 
+    # dangling vertex set is static — compute once, broadcast into the
+    # per-superstep delta/dangling aggregate
+    dangling_ids = verts.filter(F.col("out_deg") == 0).select(
+        "id", F.lit(True).alias("_dangling")
+    ).persist()
+    n_dangling = dangling_ids.count()
+
     start_iter = 0
     ranks = None
     if resume:
@@ -85,19 +92,25 @@ def pagerank(
     if ranks is None:
         ranks = verts.select("id", F.lit(1.0 / n).alias("rank"))
         ranks = ckpt.save(ranks, 0, {"algo": "pagerank", "delta": float("inf")})
+    # dangling mass of the current state (uniform init: n_dangling/n)
+    dangling = (
+        ranks.join(F.broadcast(dangling_ids), "id", "left_semi")
+        .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+        .collect()[0][0]
+        if start_iter > 0
+        else n_dangling / n
+    )
 
     deltas: list[float] = []
     converged = False
     it = start_iter
+    # two actions per superstep: (1) materialize new ranks (checkpoint /
+    # lineage truncation), (2) one fused aggregate computing BOTH the L1
+    # delta and the next iteration's dangling mass.
     for it in range(start_iter + 1, max_iter + 1):
-        state = ranks.join(verts, "id")
-        dangling = (
-            state.filter(F.col("out_deg") == 0)
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-            .collect()[0][0]
-        )
         contribs = (
-            state.filter(F.col("out_deg") > 0)
+            ranks.join(verts, "id")
+            .filter(F.col("out_deg") > 0)
             .select("id", (F.col("rank") / F.col("out_deg")).alias("share"))
             .join(e, F.col("id") == e["src"])
             .groupBy(F.col("dst").alias("id"))
@@ -115,16 +128,24 @@ def pagerank(
                 ).alias("rank"),
             )
         )
-        delta = (
-            new_ranks.alias("n")
-            .join(ranks.alias("o"), "id")
-            .agg(F.sum(F.abs(F.col("n.rank") - F.col("o.rank"))))
-            .collect()[0][0]
+        prev = ranks
+        ranks = ckpt.save(new_ranks, it, {"algo": "pagerank"})
+        row = (
+            ranks.alias("n")
+            .join(prev.alias("o"), "id")
+            .join(F.broadcast(dangling_ids), "id", "left")
+            .agg(
+                F.sum(F.abs(F.col("n.rank") - F.col("o.rank"))).alias("delta"),
+                F.coalesce(
+                    F.sum(F.when(F.col("_dangling"), F.col("n.rank"))),
+                    F.lit(0.0),
+                ).alias("dangling"),
+            )
+            .collect()[0]
         )
-        deltas.append(float(delta))
-        ranks = ckpt.save(
-            new_ranks, it, {"algo": "pagerank", "delta": float(delta)}
-        )
+        delta, dangling = float(row["delta"]), float(row["dangling"])
+        deltas.append(delta)
+        ckpt.log(it, {"algo": "pagerank", "delta": delta})
         if delta < tol:
             converged = True
             break

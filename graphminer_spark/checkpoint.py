@@ -87,12 +87,23 @@ class CheckpointManager:
             with open(self._metrics_path(), "a") as f:
                 f.write(json.dumps(record) + "\n")
             return out
+        # truncate lineage every superstep — plans re-analyze whole
+        # iteration chains otherwise (measured 5-18× slower with cache-
+        # only truncation every 5 steps)
         out = state.localCheckpoint(eager=True)
         if self.base_dir is not None:
             record = {"iteration": iteration, "ts": time.time(), **metrics}
             with open(self._metrics_path(), "a") as f:
                 f.write(json.dumps(record) + "\n")
         return out
+
+    def log(self, iteration: int, metrics: dict[str, float | int | str]) -> None:
+        """Append a metrics-only record (no state write)."""
+        if self.base_dir is None:
+            return
+        record = {"iteration": iteration, "ts": time.time(), **metrics}
+        with open(self._metrics_path(), "a") as f:
+            f.write(json.dumps(record) + "\n")
 
     # ----------------------------------------------------------- resume
     def latest(self, spark: SparkSession) -> tuple[int, DataFrame] | None:

@@ -140,3 +140,251 @@ def pagerank_sql(n_iter: int, damping: float = 0.85, decimals: int = 6) -> str:
         f"WITH {', '.join(parts)} "
         f"SELECT id, printf('%.{decimals}f', rank) AS rank_s FROM pr{n_iter}"
     )
+
+
+# ------------------------------------------------------------- documents
+
+# shared CTEs over the documents table: words → distinct 3-gram shingles
+DOC_SHINGLES = """
+w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+  FROM w, unnest(generate_series(1, greatest(len(ws) - 2, 0))) AS t(i)
+)
+""".strip()
+
+EXACT_DEDUP_SQL = """
+SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+FROM documents GROUP BY md5(text)
+""".strip()
+
+TOKEN_COUNT_SQL = r"""
+SELECT doc_id,
+       len(string_split(text, ' '))::BIGINT AS n_tokens,
+       len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))::BIGINT AS n_pieces
+FROM documents
+""".strip()
+
+QUALITY_SQL = """
+SELECT doc_id,
+       len(string_split(text, ' '))::BIGINT AS n_tokens,
+       (10000 * (length(text) - (len(string_split(text, ' ')) - 1)))
+         // len(string_split(text, ' ')) AS mean_token_len_bp,
+       (10000 * ({stop})) // len(string_split(text, ' ')) AS stopword_ratio_bp,
+       (10000 * length(regexp_replace(text, '[^a-zA-Z]', '', 'g')))
+         // length(text) AS alpha_ratio_bp
+FROM documents
+""".strip()
+
+
+def quality_sql(stopwords: list[str]) -> str:
+    stop = " + ".join(
+        f"len(list_filter(string_split(text, ' '), x -> x = '{w}'))"
+        for w in stopwords
+    )
+    return QUALITY_SQL.replace("{stop}", stop)
+
+
+def langid_sql(markers: dict[str, list[str]]) -> str:
+    langs = sorted(markers)
+    hits = ", ".join(
+        "("
+        + " + ".join(
+            f"len(list_filter(string_split(text, ' '), x -> x = '{w}'))"
+            for w in markers[lang]
+        )
+        + f") AS hits_{lang}"
+        for lang in langs
+    )
+    best = f"greatest({', '.join('hits_' + lang for lang in langs)})"
+    n_at_max = " + ".join(
+        f"(CASE WHEN hits_{lang} = {best} THEN 1 ELSE 0 END)" for lang in langs
+    )
+    pred = "'und'"
+    for lang in reversed(langs):
+        pred = f"CASE WHEN hits_{lang} = {best} THEN '{lang}' ELSE {pred} END"
+    return f"""
+WITH scored AS (SELECT doc_id, {hits} FROM documents)
+SELECT doc_id,
+       CASE WHEN {best} > 0 AND ({n_at_max}) = 1 THEN {pred} ELSE 'und' END AS pred_lang,
+       {best}::BIGINT AS n_hits
+FROM scored
+""".strip()
+
+
+FINGERPRINT_SQL = f"""
+WITH {DOC_SHINGLES},
+ranked AS (
+  SELECT doc_id, md5(shingle) AS h,
+         row_number() OVER (PARTITION BY doc_id ORDER BY md5(shingle)) AS rn
+  FROM sh
+),
+sk AS (
+  SELECT doc_id, string_agg(h, ',' ORDER BY h) AS sketch
+  FROM ranked WHERE rn <= 4 GROUP BY doc_id
+)
+SELECT d.doc_id,
+       md5(lower(regexp_replace(d.text, '[^a-zA-Z0-9 ]', '', 'g'))) AS content_md5,
+       coalesce(sk.sketch, '') AS sketch
+FROM documents d LEFT JOIN sk ON sk.doc_id = d.doc_id
+""".strip()
+
+
+def minhash_sql(num_hashes: int) -> str:
+    return f"""
+WITH {DOC_SHINGLES}
+SELECT doc_id, s AS seed, min(md5(s || ':' || shingle)) AS mh
+FROM sh, unnest(generate_series(0, {num_hashes - 1})) AS t(s)
+GROUP BY doc_id, s
+""".strip()
+
+
+def lsh_neardup_sql(
+    threshold: float, num_hashes: int = 16, rows_per_band: int = 4
+) -> str:
+    """MinHash → LSH bands → candidate pairs → exact-Jaccard verify."""
+    return f"""
+WITH {DOC_SHINGLES},
+sig AS (
+  SELECT doc_id, s AS seed, min(md5(s || ':' || shingle)) AS mh
+  FROM sh, unnest(generate_series(0, {num_hashes - 1})) AS t(s)
+  GROUP BY doc_id, s
+),
+buckets AS (
+  SELECT doc_id, seed // {rows_per_band} AS band,
+         md5(string_agg(mh, ',' ORDER BY seed)) AS bucket
+  FROM sig GROUP BY doc_id, seed // {rows_per_band}
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  FROM buckets l JOIN buckets r
+    ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+),
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+  JOIN cand ON cand.a = x.doc_id AND cand.b = y.doc_id
+  GROUP BY x.doc_id, y.doc_id
+)
+SELECT inter.a, inter.b,
+       printf('%.6f', c / (sa.n + sb.n - c)::DOUBLE) AS jaccard_s
+FROM inter
+JOIN sz sa ON sa.doc_id = inter.a
+JOIN sz sb ON sb.doc_id = inter.b
+WHERE c / (sa.n + sb.n - c)::DOUBLE >= {threshold}
+""".strip()
+
+
+def jaccard_all_pairs_sql(threshold: float) -> str:
+    return f"""
+WITH {DOC_SHINGLES},
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id
+)
+SELECT inter.a, inter.b,
+       printf('%.6f', c / (sa.n + sb.n - c)::DOUBLE) AS jaccard_s
+FROM inter
+JOIN sz sa ON sa.doc_id = inter.a
+JOIN sz sb ON sb.doc_id = inter.b
+WHERE c / (sa.n + sb.n - c)::DOUBLE >= {threshold}
+""".strip()
+
+
+SIMHASH_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+h AS (
+  SELECT doc_id, cast(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h
+  FROM toks
+),
+bits AS (
+  SELECT doc_id, i,
+         sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM h, unnest(generate_series(0, 59)) AS t(i)
+  GROUP BY doc_id, i
+)
+SELECT doc_id,
+       sum(CASE WHEN v > 0 THEN (1::BIGINT << i) ELSE 0 END)::BIGINT AS simhash
+FROM bits GROUP BY doc_id
+""".strip()
+
+
+def simhash_neardup_sql(max_hamming: int) -> str:
+    return f"""
+WITH _sh AS ({SIMHASH_SQL}),
+blocks AS (
+  SELECT doc_id, simhash, i AS blk,
+         (simhash >> (15 * i)) & 32767 AS key
+  FROM _sh, unnest(generate_series(0, 3)) AS t(i)
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
+         l.simhash AS ha, r.simhash AS hb
+  FROM blocks l JOIN blocks r
+    ON l.blk = r.blk AND l.key = r.key AND l.doc_id < r.doc_id
+)
+SELECT a, b, bit_count(xor(ha, hb))::INT AS hamming
+FROM cand WHERE bit_count(xor(ha, hb)) <= {max_hamming}
+""".strip()
+
+
+# ------------------------------------------------------------ embeddings
+
+
+def knn_sql(k: int, n_queries: int) -> str:
+    """Exact top-k cosine neighbors for vec_id < n_queries (double
+    accumulation, 6-dp rounded sim, ties → smaller neighbor_id)."""
+    return f"""
+WITH e AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {n_queries}),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         round(list_dot_product(q.qv, e.v)
+               / (sqrt(list_dot_product(q.qv, q.qv))
+                  * sqrt(list_dot_product(e.v, e.v))), 6) AS sim
+  FROM q JOIN e ON e.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY sim DESC, neighbor_id
+         ) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank::INT AS rank, printf('%.6f', sim) AS sim_s
+FROM ranked WHERE rank <= {k}
+""".strip()
+
+
+def emb_neardup_sql(threshold: float, n_planes: int, dim: int) -> str:
+    """Cosine ≥ threshold pairs within sign-LSH buckets (mirrors
+    similarity.embedding_neardup incl. the deterministic planes)."""
+    plane_cases = []
+    for p in range(n_planes):
+        coeffs = ", ".join(
+            str((((p + 1) * 1315423911) ^ ((j + 1) * 2654435761)) % 2001 / 1000.0 - 1.0)
+            for j in range(dim)
+        )
+        plane_cases.append(
+            f"(CASE WHEN list_dot_product(v, [{coeffs}]::DOUBLE[]) >= 0 "
+            f"THEN {1 << p} ELSE 0 END)"
+        )
+    bucket = " + ".join(plane_cases)
+    return f"""
+WITH e AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS v FROM embeddings),
+b AS (SELECT vec_id, v, ({bucket})::BIGINT AS bucket FROM e),
+pairs AS (
+  SELECT l.vec_id AS a, r.vec_id AS b,
+         round(list_dot_product(l.v, r.v)
+               / (sqrt(list_dot_product(l.v, l.v))
+                  * sqrt(list_dot_product(r.v, r.v))), 6) AS sim
+  FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+)
+SELECT DISTINCT a, b, printf('%.6f', sim) AS sim_s
+FROM pairs WHERE sim >= {threshold}
+""".strip()

@@ -1,0 +1,157 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+* ``knn_bruteforce`` — exact top-k cosine neighbors via a replicated
+  (broadcast) query side against the corpus: the baseline. Dot/norm
+  are sequential left-folds (``F.aggregate`` over ``zip_with``) in
+  float64 — bit-compatible with DuckDB's ``list_dot_product`` for the
+  oracle.
+* ``lsh_ann`` — the scale path: random-hyperplane LSH with
+  deterministic integer-arithmetic planes (no RNG state), bucket join,
+  exact re-rank inside buckets. At 10^12 rows brute force is O(N·Q);
+  LSH buckets cut the candidate set per query to its bucket.
+* ``embedding_neardup`` — near-duplicate pairs by cosine ≥ τ over LSH
+  buckets (the embedding-cosine dedup operator).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+N_PLANES = 12
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def knn_bruteforce(
+    embeddings: DataFrame, queries: DataFrame, k: int = 5
+) -> DataFrame:
+    """Exact top-k cosine neighbors → ``(query_id, neighbor_id, rank,
+    sim_s)``.
+
+    ``queries(query_id, qvec)`` is broadcast (small side); ranking key
+    is (cosine rounded to 6dp DESC, neighbor_id ASC) so ordering is
+    engine-exact. Self-matches excluded.
+    """
+    joined = embeddings.crossJoin(F.broadcast(queries)).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    sim = F.round(cosine(F.col("qvec"), F.col("embedding")), 6)
+    scored = joined.select(
+        "query_id", F.col("vec_id").alias("neighbor_id"), sim.alias("sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            F.format_string("%.6f", F.col("sim")).alias("sim_s"),
+        )
+    )
+
+
+def _plane(p: int, dim: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane from integer mixing —
+    reproducible anywhere, including in SQL oracles."""
+    return [
+        ((((p + 1) * 1315423911) ^ ((j + 1) * 2654435761)) % 2001) / 1000.0 - 1.0
+        for j in range(dim)
+    ]
+
+
+def lsh_sign_buckets(
+    embeddings: DataFrame, dim: int, n_planes: int = N_PLANES
+) -> DataFrame:
+    """``(vec_id, bucket)`` — bucket = integer of sign bits of the
+    vector's dot products with ``n_planes`` fixed hyperplanes."""
+    bucket = F.lit(0)
+    for p in range(n_planes):
+        plane = F.array(*[F.lit(v) for v in _plane(p, dim)])
+        bit = F.when(_dot(F.col("embedding"), plane) >= 0, F.lit(1 << p)).otherwise(
+            F.lit(0)
+        )
+        bucket = bucket + bit
+    return embeddings.select("vec_id", bucket.cast("long").alias("bucket"))
+
+
+def lsh_ann(
+    embeddings: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_planes: int = N_PLANES,
+) -> DataFrame:
+    """Approximate top-k neighbors *within each LSH bucket* →
+    ``(query_id, neighbor_id, rank, sim_s)``. Recall < 1 by design;
+    the exact re-rank inside buckets keeps precision exact."""
+    b = lsh_sign_buckets(embeddings, dim, n_planes)
+    tagged = embeddings.join(b, "vec_id")
+    l = tagged.select(
+        "bucket", F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    r = tagged.select(
+        "bucket", F.col("vec_id").alias("neighbor_id"), "embedding"
+    )
+    pairs = l.join(r, "bucket").filter(F.col("query_id") != F.col("neighbor_id"))
+    sim = F.round(cosine(F.col("qvec"), F.col("embedding")), 6)
+    scored = pairs.select("query_id", "neighbor_id", sim.alias("sim"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            F.format_string("%.6f", F.col("sim")).alias("sim_s"),
+        )
+    )
+
+
+def embedding_neardup(
+    embeddings: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    n_planes: int = N_PLANES,
+) -> DataFrame:
+    """Near-duplicate vector pairs (cosine ≥ threshold) via LSH buckets
+    → ``(a, b, sim_s)``."""
+    b = lsh_sign_buckets(embeddings, dim, n_planes)
+    tagged = embeddings.join(b, "vec_id")
+    l = tagged.select("bucket", F.col("vec_id").alias("a"), F.col("embedding").alias("ea"))
+    r = tagged.select("bucket", F.col("vec_id").alias("b"), F.col("embedding").alias("eb"))
+    sim = F.round(cosine(F.col("ea"), F.col("eb")), 6)
+    return (
+        l.join(r, "bucket")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", sim.alias("sim"))
+        .filter(F.col("sim") >= threshold)
+        .select("a", "b", F.format_string("%.6f", F.col("sim")).alias("sim_s"))
+        .distinct()
+    )

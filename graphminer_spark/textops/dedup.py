@@ -1,0 +1,236 @@
+"""Document deduplication operators: exact, n-gram Jaccard, MinHash+LSH,
+SimHash.
+
+All hashing is MD5-based (standard algorithm, bit-identical in Spark
+and DuckDB) so every operator has an exact SQL oracle; MinHash
+"values" are MD5 hex strings compared lexicographically — a uniform
+order-preserving stand-in for integer hashes that needs no custom UDF.
+
+Scale notes
+-----------
+* Shingling/explode is a flatMap (no shuffle); the per-(doc, seed)
+  minhash is one partial-aggregatable groupBy.
+* LSH banding turns the O(N²) all-pairs problem into a self-join on
+  (band, bucket) — the candidate join's cost follows bucket sizes, not
+  N², which is the only strategy that survives 10^12 documents.
+* Exact-Jaccard verification runs only on LSH candidates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+NGRAM = 3
+
+
+def with_shingles(docs: DataFrame, n: int = NGRAM) -> DataFrame:
+    """``(doc_id, shingle)`` — distinct word n-grams per document.
+
+    Tokenization = split on single space (documents are normalized
+    word streams); shingles built JVM-side with ``transform`` over an
+    index ``sequence`` — no Python.
+    """
+    w = F.split(F.col("text"), " ")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(0)))
+    shingle = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(w, i + j) for j in range(n)]
+        ),
+    )
+    return (
+        docs.select("doc_id", F.explode(shingle).alias("shingle"))
+        .distinct()
+    )
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Exact dedup by content hash: keep the min doc_id per distinct
+    text → ``(keep_id, n_copies)``."""
+    return (
+        docs.select(F.md5(F.col("text").cast("binary")).alias("h"), "doc_id")
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
+        .select("keep_id", "n_copies")
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, num_hashes: int = 16, n: int = NGRAM
+) -> DataFrame:
+    """``(doc_id, seed, mh)`` MinHash signature rows.
+
+    mh(doc, s) = min over shingles of md5('s:' || shingle); the min of
+    a uniform hash per seed — the classic permutation-free MinHash.
+    """
+    sh = with_shingles(docs, n)
+    seeded = sh.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed"),
+        "shingle",
+    )
+    return (
+        seeded.select(
+            "doc_id",
+            "seed",
+            F.md5(
+                F.concat_ws(":", F.col("seed").cast("string"), F.col("shingle"))
+                .cast("binary")
+            ).alias("h"),
+        )
+        .groupBy("doc_id", "seed")
+        .agg(F.min("h").alias("mh"))
+    )
+
+
+def lsh_buckets(
+    signatures: DataFrame, rows_per_band: int = 4
+) -> DataFrame:
+    """``(doc_id, band, bucket)`` — hash each band of the signature."""
+    banded = signatures.withColumn(
+        "band", (F.col("seed") / rows_per_band).cast("int")
+    )
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("seed", "mh"))),
+        lambda x: x["mh"],
+    )
+    return (
+        banded.groupBy("doc_id", "band")
+        .agg(F.md5(F.array_join(ordered, ",").cast("binary")).alias("bucket"))
+    )
+
+
+def lsh_candidate_pairs(buckets: DataFrame) -> DataFrame:
+    """Distinct candidate pairs (a < b) sharing any (band, bucket)."""
+    l = buckets.select("band", "bucket", F.col("doc_id").alias("a"))
+    r = buckets.select("band", "bucket", F.col("doc_id").alias("b"))
+    return (
+        l.join(r, ["band", "bucket"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    threshold: float,
+    n: int = NGRAM,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs ≥ threshold →
+    ``(a, b, jaccard)``. With ``candidates`` given, verifies only those
+    pairs (the LSH scale path); otherwise all-pairs via shingle
+    self-join (small corpora only)."""
+    sh = with_shingles(docs, n).persist()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    inter = (
+        sh.select(F.col("doc_id").alias("a"), "shingle")
+        .join(sh.select(F.col("doc_id").alias("b"), "shingle"), "shingle")
+        .filter(F.col("a") < F.col("b"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, ["a", "b"], "left_semi")
+    inter = inter.groupBy("a", "b").agg(F.count("*").alias("inter"))
+    out = (
+        inter.join(sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sa")), "a")
+        .join(sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("sb")), "b")
+        .select(
+            "a",
+            "b",
+            (
+                F.col("inter")
+                / (F.col("sa") + F.col("sb") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out
+
+
+def minhash_lsh_dedup(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    num_hashes: int = 16,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Near-dup pairs via MinHash→LSH→exact-Jaccard verify →
+    ``(a, b, jaccard)``."""
+    sig = minhash_signatures(docs, num_hashes)
+    cand = lsh_candidate_pairs(lsh_buckets(sig, rows_per_band))
+    return jaccard_pairs(docs, threshold, candidates=cand)
+
+
+def simhash64(docs: DataFrame) -> DataFrame:
+    """64-bit SimHash per document → ``(doc_id, simhash)``.
+
+    Per-token md5 → first 16 hex chars → 64-bit int; per-bit majority
+    vote over tokens, weighted by term frequency. Pure JVM expressions
+    (conv + bit ops over an exploded token stream).
+    """
+    tokens = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    hashed = tokens.select(
+        "doc_id",
+        F.conv(F.substring(F.md5(F.col("tok").cast("binary")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h"),  # 60 bits to stay clear of sign issues
+    )
+    bit_cols = [
+        F.sum(
+            F.when(F.col("h").bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(60)
+    ]
+    votes = hashed.groupBy("doc_id").agg(*bit_cols)
+    sim = None
+    for b in range(60):
+        term = F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return votes.select("doc_id", sim.cast("long").alias("simhash"))
+
+
+def simhash_near_pairs(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``.
+
+    Scale path: block on 4 × 15-bit sub-keys (pigeonhole: any pair
+    within Hamming 8 of a 60-bit hash shares at least one exact 15-bit
+    block when distance ≤ 3 per... conservatively a candidate
+    generator), then verify with bit_count. Small corpora verify all
+    candidate blocks directly.
+    """
+    sh = simhash64(docs).persist()
+    blocks = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("blk"),
+                        F.shiftrightunsigned(F.col("simhash"), 15 * i)
+                        .bitwiseAND(F.lit((1 << 15) - 1))
+                        .alias("key"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "simhash", F.col("bk.blk"), F.col("bk.key"))
+    l = blocks.select("blk", "key", F.col("doc_id").alias("a"), F.col("simhash").alias("ha"))
+    r = blocks.select("blk", "key", F.col("doc_id").alias("b"), F.col("simhash").alias("hb"))
+    cand = (
+        l.join(r, ["blk", "key"]).filter(F.col("a") < F.col("b"))
+        .select("a", "b", "ha", "hb")
+        .distinct()
+    )
+    return (
+        cand.select(
+            "a",
+            "b",
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,132 @@
+"""Text analysis operators: token counting, quality scoring,
+language id, document fingerprinting.
+
+All JVM-side expressions (split/regexp/aggregate) — no Python in the
+hot path — and each has an exact DuckDB oracle (md5 + integer/string
+ops only, plus float ratios rendered via printf where compared).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it"]
+
+# tiny per-language marker lexicons for the n-gram/lexicon language-ID
+# heuristic (deterministic; real deployments would swap in fastText —
+# out-of-container, so the heuristic is the real, tested plumbing)
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "is", "a"],
+    "de": ["der", "die", "und", "ist", "das"],
+    "fr": ["le", "la", "et", "est", "les"],
+    "es": ["el", "la", "que", "es", "los"],
+}
+
+
+def _count_word(toks, w: str):
+    """Occurrences of exact word ``w`` in a token array column.
+
+    NB: the filter lambda must take exactly one parameter — a second
+    parameter makes PySpark pass the element *index* into it.
+    """
+    return F.coalesce(
+        F.size(F.filter(toks, lambda t: t == F.lit(w))), F.lit(0)
+    )
+
+
+def token_count(docs: DataFrame) -> DataFrame:
+    """``(doc_id, n_tokens, n_alpha_tokens)`` — whitespace tokens and
+    BPE-ish word-piece tokens (letter runs / digit runs / punct)."""
+    toks = F.split(F.col("text"), " ")
+    pieces = F.regexp_count(F.col("text"), F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"))
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        pieces.cast("long").alias("n_pieces"),
+    )
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Heuristic quality features per doc → ``(doc_id, n_tokens,
+    mean_token_len_bp, stopword_ratio_bp, alpha_ratio_bp)``.
+
+    Ratios are reported in basis points via *integer* arithmetic
+    (``10000·p // q``) — exact in any engine, immune to float-format
+    rounding-mode differences.
+    """
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks).cast("long")
+    text_len = F.length("text").cast("long")
+    stop = sum(_count_word(toks, w) for w in STOPWORDS).cast("long")
+    alpha = F.regexp_count(F.col("text"), F.lit("[a-zA-Z]")).cast("long")
+
+    def bp(p, q):
+        return (F.lit(10000) * p / q).cast("long")
+
+    return docs.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        bp(text_len - (n - 1), n).alias("mean_token_len_bp"),
+        bp(stop, n).alias("stopword_ratio_bp"),
+        bp(alpha, text_len).alias("alpha_ratio_bp"),
+    )
+
+
+def language_id(docs: DataFrame) -> DataFrame:
+    """Lexicon-hit language ID → ``(doc_id, pred_lang, n_hits)``.
+
+    Argmax of marker-word hits per language; ties and zero hits →
+    'und'. Deterministic (language keys checked in sorted order).
+    """
+    toks = F.split(F.col("text"), " ")
+    hit_cols = {
+        lang: sum(_count_word(toks, w) for w in words)
+        for lang, words in LANG_MARKERS.items()
+    }
+    scored = docs.select(
+        "doc_id",
+        *[c.alias(f"hits_{lang}") for lang, c in hit_cols.items()],
+    )
+    langs = sorted(LANG_MARKERS)
+    best_hits = F.greatest(*[F.col(f"hits_{lang}") for lang in langs])
+    pred = F.lit("und")
+    # first (sorted) language achieving the max, if max > 0 and unique-max
+    n_at_max = sum(
+        F.when(F.col(f"hits_{lang}") == best_hits, 1).otherwise(0)
+        for lang in langs
+    )
+    for lang in reversed(langs):
+        pred = F.when(F.col(f"hits_{lang}") == best_hits, F.lit(lang)).otherwise(pred)
+    pred = F.when((best_hits > 0) & (n_at_max == 1), pred).otherwise(F.lit("und"))
+    return scored.select(
+        "doc_id", pred.alias("pred_lang"), best_hits.cast("long").alias("n_hits")
+    )
+
+
+def fingerprint(docs: DataFrame, k: int = 4) -> DataFrame:
+    """Document fingerprint → ``(doc_id, content_md5, sketch)``.
+
+    content_md5 = md5 of the normalized text (lowercase, alnum+space);
+    sketch = the k lexicographically-smallest shingle md5s joined with
+    ',' — a winnowing-style k-min sketch whose equality ⇒ near-dup.
+    """
+    from graphminer_spark.textops.dedup import with_shingles
+
+    norm = F.lower(F.regexp_replace(F.col("text"), "[^a-zA-Z0-9 ]", ""))
+    base = docs.select(
+        "doc_id", F.md5(norm.cast("binary")).alias("content_md5")
+    )
+    sk = (
+        with_shingles(docs)
+        .select("doc_id", F.md5(F.col("shingle").cast("binary")).alias("h"))
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.slice(F.array_sort(F.collect_list("h")), 1, k), ","
+            ).alias("sketch")
+        )
+    )
+    return base.join(sk, "doc_id", "left").select(
+        "doc_id", "content_md5", F.coalesce("sketch", F.lit("")).alias("sketch")
+    )

@@ -1,0 +1,162 @@
+"""Dedup / similarity / text-analysis operators vs pure-python oracles."""
+
+from __future__ import annotations
+
+import hashlib
+import random
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from graphminer_spark.similarity import knn_bruteforce
+from graphminer_spark.textops.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    minhash_lsh_dedup,
+    simhash64,
+    with_shingles,
+)
+from graphminer_spark.textops.quality import (
+    language_id,
+    quality_score,
+    token_count,
+)
+
+VOCAB = "alpha beta gamma delta epsilon zeta eta theta".split()
+
+
+def _mk_docs(spark, n=40, seed=4, dup_every=7):
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n):
+        if i % dup_every == dup_every - 1 and rows:
+            base = rows[rng.randrange(len(rows))][1]
+            # near-dup: mutate one word
+            words = base.split(" ")
+            words[rng.randrange(len(words))] = rng.choice(VOCAB)
+            rows.append((i, " ".join(words)))
+        else:
+            rows.append(
+                (i, " ".join(rng.choice(VOCAB) for _ in range(rng.randint(8, 20))))
+            )
+    # one exact duplicate
+    rows.append((n, rows[0][1]))
+    return spark.createDataFrame(rows, "doc_id long, text string"), dict(rows)
+
+
+def _shingles(text, n=3):
+    w = text.split(" ")
+    return {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
+
+
+def test_exact_dedup(spark):
+    docs, raw = _mk_docs(spark)
+    out = {r["keep_id"]: r["n_copies"] for r in exact_dedup(docs).collect()}
+    # doc 0 text duplicated by the appended row
+    assert out[0] == 2
+    assert sum(out.values()) == len(raw)
+
+
+def test_shingles_match_python(spark):
+    docs, raw = _mk_docs(spark, n=15)
+    got = {}
+    for r in with_shingles(docs).collect():
+        got.setdefault(r["doc_id"], set()).add(r["shingle"])
+    for d, t in raw.items():
+        assert got.get(d, set()) == _shingles(t), d
+
+
+def test_jaccard_pairs_vs_bruteforce(spark):
+    docs, raw = _mk_docs(spark)
+    thr = 0.4
+    expect = {}
+    for a in raw:
+        for b in raw:
+            if a < b:
+                sa, sb = _shingles(raw[a]), _shingles(raw[b])
+                inter = len(sa & sb)
+                if inter:
+                    j = inter / (len(sa) + len(sb) - inter)
+                    if j >= thr:
+                        expect[(a, b)] = j
+    got = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in jaccard_pairs(docs, thr).collect()
+    }
+    assert set(got) == set(expect)
+    for k in got:
+        assert abs(got[k] - expect[k]) < 1e-12
+
+
+def test_minhash_lsh_finds_exact_dups(spark):
+    docs, raw = _mk_docs(spark)
+    pairs = {
+        (r["a"], r["b"]) for r in minhash_lsh_dedup(docs, threshold=0.9).collect()
+    }
+    assert (0, len(raw) - 1) in pairs  # the planted exact duplicate
+
+
+def test_simhash_properties(spark):
+    docs, raw = _mk_docs(spark)
+    sh = {r["doc_id"]: r["simhash"] for r in simhash64(docs).collect()}
+    n = len(raw) - 1
+    assert sh[0] == sh[n]  # identical text → identical simhash
+    assert all(0 <= v < (1 << 60) for v in sh.values())
+    # deterministic across recomputation
+    sh2 = {r["doc_id"]: r["simhash"] for r in simhash64(docs).collect()}
+    assert sh == sh2
+
+
+def test_token_count_and_quality(spark):
+    docs, raw = _mk_docs(spark, n=10)
+    tc = {r["doc_id"]: r["n_tokens"] for r in token_count(docs).collect()}
+    for d, t in raw.items():
+        assert tc[d] == len(t.split(" "))
+    q = {r["doc_id"]: r for r in quality_score(docs).collect()}
+    for d, t in raw.items():
+        toks = t.split(" ")
+        assert q[d]["mean_token_len_bp"] == 10000 * (
+            len(t) - (len(toks) - 1)
+        ) // len(toks)
+        assert q[d]["alpha_ratio_bp"] == 10000 * sum(
+            c.isalpha() for c in t
+        ) // len(t)
+
+
+def test_language_id(spark):
+    rows = [
+        (1, "the cat and the dog is a pet"),
+        (2, "der hund und die katze ist das tier"),
+        (3, "le chat et la vache est les animaux"),
+        (4, "xyzzy plugh quux"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["pred_lang"] for r in language_id(docs).collect()}
+    assert got == {1: "en", 2: "de", 3: "fr", 4: "und"}
+
+
+def test_knn_vs_numpy(spark):
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(30, 8)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, vecs[i].tolist()) for i in range(30)],
+        "vec_id long, embedding array<float>",
+    )
+    q = df.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    got = {}
+    for r in knn_bruteforce(df, q, k=3).collect():
+        got.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"]))
+    v64 = vecs.astype(np.float64)
+    sims = (v64 @ v64.T) / (
+        np.linalg.norm(v64, axis=1)[:, None] * np.linalg.norm(v64, axis=1)[None, :]
+    )
+    for qi in range(5):
+        order = sorted(
+            ((round(sims[qi, j], 6), -j) for j in range(30) if j != qi),
+            reverse=True,
+        )[:3]
+        expect = [(-negj) for _, negj in order]
+        assert [n for _, n in sorted(got[qi])] == expect, qi
