@@ -41,7 +41,17 @@ from graphminer_spark.oracle_sql import (
     quality_sql,
     simhash_neardup_sql,
 )
+from graphminer_spark.oracle_sql import (
+    EV_WINDOWED_SQL,
+    sessionize_sql,
+    top_users_sql,
+)
 from graphminer_spark.similarity import embedding_neardup, knn_bruteforce
+from graphminer_spark.streaming.events import (
+    sessionize,
+    top_users_by_value,
+    windowed_counts,
+)
 from graphminer_spark.textops.dedup import (
     exact_dedup,
     jaccard_pairs,
@@ -209,8 +219,27 @@ def _q_emb_neardup(spark, sf_dir):
     )
 
 
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _q_ev_windows(spark, sf_dir):
+    return windowed_counts(_events(spark, sf_dir), minutes=60)
+
+
+def _q_ev_sessions(spark, sf_dir):
+    return sessionize(_events(spark, sf_dir), gap_minutes=30)
+
+
+def _q_ev_top_users(spark, sf_dir):
+    return top_users_by_value(_events(spark, sf_dir), k=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "ev_windowed_counts": _q_ev_windows,
+        "ev_sessions": _q_ev_sessions,
+        "ev_top_users": _q_ev_top_users,
         "docs_exact_dedup": _q_exact_dedup,
         "docs_token_count": _q_token_count,
         "docs_quality": _q_quality,
@@ -293,4 +322,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_simhash_neardup": simhash_neardup_sql(20),
         "emb_knn": knn_sql(KNN_K, KNN_QUERIES),
         "emb_neardup": emb_neardup_sql(0.25, 4, EMB_DIM),
+        "ev_windowed_counts": EV_WINDOWED_SQL,
+        "ev_sessions": sessionize_sql(30),
+        "ev_top_users": top_users_sql(10),
     }

@@ -388,3 +388,50 @@ pairs AS (
 SELECT DISTINCT a, b, printf('%.6f', sim) AS sim_s
 FROM pairs WHERE sim >= {threshold}
 """.strip()
+
+
+# ---------------------------------------------------------------- events
+
+EV_WINDOWED_SQL = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n,
+       sum(round(value * 100)::BIGINT) AS total_value_c
+FROM events GROUP BY 1, 2
+""".strip()
+
+
+def sessionize_sql(gap_minutes: int) -> str:
+    return f"""
+WITH lagged AS (
+  SELECT user_id, event_id, ts,
+         extract(epoch FROM ts)::BIGINT
+           - lag(extract(epoch FROM ts)::BIGINT)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM events
+),
+tagged AS (
+  SELECT user_id, ts,
+         sum(CASE WHEN gap IS NULL OR gap > {gap_minutes * 60} THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM lagged
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       min(ts) AS start_ts, max(ts) AS end_ts
+FROM tagged GROUP BY user_id, session_id
+""".strip()
+
+
+def top_users_sql(k: int) -> str:
+    return f"""
+WITH agg AS (
+  SELECT user_id, sum(round(value * 100)::BIGINT) AS total_value_c
+  FROM events GROUP BY user_id
+),
+ranked AS (
+  SELECT user_id, total_value_c,
+         row_number() OVER (ORDER BY total_value_c DESC, user_id) AS rank
+  FROM agg
+)
+SELECT user_id, total_value_c, rank::INT AS rank FROM ranked WHERE rank <= {k}
+""".strip()

@@ -27,12 +27,14 @@ def get_spark(
     cores: int | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    master: str | None = None,
 ) -> SparkSession:
     """Build (or fetch) a SparkSession.
 
-    ``cores`` controls the ``local[N]`` master locally; on a cluster the
-    master comes from spark-submit and this argument is ignored by
-    Spark. ``SPARK_GRAFT_CPUS`` env var overrides for bench runs.
+    ``cores`` controls the ``local[N]`` master locally; ``master``
+    overrides it entirely (e.g. ``local-cluster[4,2,8192]`` for real
+    multi-executor runs, or a cluster URL). ``SPARK_GRAFT_CPUS`` env
+    var overrides cores for bench runs.
     """
     if cores is None:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -40,8 +42,10 @@ def get_spark(
         shuffle_partitions = int(
             os.environ.get("SPARK_GRAFT_SHUFFLE", str(max(cores, DEFAULT_SHUFFLE_PARTITIONS)))
         )
+    if master is None:
+        master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cores}]")
     builder = (
-        SparkSession.builder.master(f"local[{cores}]")
+        SparkSession.builder.master(master)
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
@@ -53,6 +57,14 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # local mode: shuffle files on tmpfs, not the root disk — a
+        # single-host stand-in for a cluster's node-local NVMe; without
+        # this, multi-GB shuffles serialize on one spindle and core
+        # scaling flatlines
+        .config(
+            "spark.local.dir",
+            os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-local"),
+        )
     )
     if extra_conf:
         for k, v in extra_conf.items():

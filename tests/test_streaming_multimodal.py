@@ -1,0 +1,108 @@
+"""Streaming smoke (in-memory sink) + multimodal plumbing tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphminer_spark.multimodal import (
+    dedup_assets,
+    extract_media_meta,
+    frame_sample,
+    make_fake_media,
+)
+from graphminer_spark.streaming.events import (
+    sessionize,
+    stream_windowed_counts,
+    windowed_counts,
+)
+
+SF = "/root/testdata/sf0.001"
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def test_streaming_matches_batch(spark, tmp_path):
+    # stage the events parquet into a dir the stream can watch
+    batch = spark.read.parquet(f"{SF}/events.parquet")
+    src = str(tmp_path / "stream_src")
+    batch.write.mode("overwrite").parquet(src)
+
+    q = stream_windowed_counts(
+        spark, src, EVENTS_SCHEMA, minutes=60, query_name="wc_test"
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["window_start"], r["event_type"]): (r["n"], r["total_value_c"])
+            for r in spark.sql("SELECT * FROM wc_test").collect()
+        }
+    finally:
+        q.stop()
+    want = {
+        (r["window_start"], r["event_type"]): (r["n"], r["total_value_c"])
+        for r in windowed_counts(batch, minutes=60).collect()
+    }
+    assert got == want and len(want) > 10
+
+
+def test_sessionize_gap_semantics(spark):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1: two sessions (gap 45 min between event 2 and 3)
+        (1, base, 1, "a", 1.0, "{}"),
+        (2, base + dt.timedelta(minutes=10), 1, "a", 1.0, "{}"),
+        (3, base + dt.timedelta(minutes=55), 1, "a", 1.0, "{}"),
+        # user 2: one session
+        (4, base, 2, "a", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(rows, EVENTS_SCHEMA)
+    got = {
+        (r["user_id"], r["session_id"]): r["n_events"]
+        for r in sessionize(df, gap_minutes=30).collect()
+    }
+    assert got == {(1, 1): 2, (1, 2): 1, (2, 1): 1}
+
+
+@pytest.fixture()
+def assets(spark):
+    rows = [
+        (1, make_fake_media(1, 0, 64, 64, 1)),
+        (2, make_fake_media(2, 2, 320, 240, 10)),
+        (3, make_fake_media(1, 0, 64, 64, 1)),  # duplicate of asset 1
+        (4, make_fake_media(4, 1, 0, 0, 0)),
+    ]
+    return spark.createDataFrame(rows, "asset_id long, media binary")
+
+
+def test_media_meta(spark, assets):
+    meta = {r["asset_id"]: r for r in extract_media_meta(assets).collect()}
+    assert meta[1]["kind"] == "image" and meta[1]["width"] == 64
+    assert meta[2]["kind"] == "video" and meta[2]["n_frames"] == 10
+    assert meta[4]["kind"] == "audio"
+    assert meta[1]["content_sha256"] == meta[3]["content_sha256"]
+
+
+def test_frame_sampling(spark, assets):
+    frames = [
+        (r["asset_id"], r["frame_idx"]) for r in frame_sample(assets, 2).collect()
+    ]
+    assert sorted(frames) == [(2, i) for i in range(0, 10, 2)]
+
+
+def test_asset_dedup(spark, assets):
+    out = {r["keep_id"]: r["n_copies"] for r in dedup_assets(assets).collect()}
+    assert out[1] == 2 and out[2] == 1 and out[4] == 1
+
+
+def test_real_media_raises(spark):
+    df = spark.createDataFrame(
+        [(9, b"\x89PNG\r\n\x1a\nrealpngbytes")], "asset_id long, media binary"
+    )
+    with pytest.raises(Exception) as ei:
+        extract_media_meta(df).collect()
+    assert "NotImplementedError" in str(ei.value) or "codec" in str(ei.value)
