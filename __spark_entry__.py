@@ -41,8 +41,10 @@ from graphminer_spark.oracle_sql import (
     quality_sql,
     simhash_neardup_sql,
 )
+from graphminer_spark.algorithms.motifs import pattern_counts
 from graphminer_spark.oracle_sql import (
     EV_WINDOWED_SQL,
+    PATTERN_COUNTS_SQL,
     sessionize_sql,
     top_users_sql,
 )
@@ -114,6 +116,11 @@ def _q_tc_per_edge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_clique4(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clique4_count(build_dag(tpch_edges(spark, sf_dir)))
+
+
+def _q_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = tpch_edges(spark, sf_dir).persist()
+    return pattern_counts(edges, build_dag(edges))
 
 
 def _graph_vertices(spark: SparkSession, sf_dir: str):
@@ -259,6 +266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tc_total": _q_tc_total,
         "tc_per_edge": _q_tc_per_edge,
         "clique4_total": _q_clique4,
+        "pattern_counts": _q_patterns,
         "cc_components": _q_cc,
         "cc_sizes": _q_cc_sizes,
         "lp_labels_2iter": _q_lp2,
@@ -303,6 +311,7 @@ def oracle_sql() -> dict[str, str]:
             """,
             with_tri=True,
         ),
+        "pattern_counts": PATTERN_COUNTS_SQL,
         "cc_components": CC_SQL,
         "cc_sizes": (
             f"WITH _cc AS ({CC_SQL}) "

@@ -1,0 +1,161 @@
+"""Motif and named-pattern counting via formula-based rewrites.
+
+The reference counts small patterns two ways: enumeration kernels
+(``src/sgl/cpu_kernels/*.h``, ``src/motif/cpu_kernels/automine_base.h``)
+and the *formula* variant (``src/motif/omp_formula.cc:8-51``) that
+enumerates only triangles and derives the rest algebraically from
+degrees and per-edge triangle counts. The formula path is the right
+one for Spark — cheap global aggregates instead of quartic joins —
+so it's the default here; the 4-cycle still needs the wedge-endpoint
+join (no degree-local formula exists).
+
+Semantics: **edge-induced** (subgraph containment) counts, matching
+the SgL/count golden tables (``src/sgl/README.md:51-63``; the
+induced-vs-non-induced distinction is called out in SURVEY §2.5);
+``motif3_counts`` additionally returns the vertex-induced wedge count
+used by the motif suite (``src/motif/README.md``).
+
+All outputs are single-row DataFrames with named long columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from graphminer_spark.algorithms.triangles import (
+    enumerate_triangles,
+    per_edge_triangles,
+    triangle_count,
+)
+from graphminer_spark.graph.build import degrees, symmetrize
+
+
+def _c2(col):  # C(n,2)
+    return col * (col - 1) / 2
+
+
+def _c3(col):  # C(n,3)
+    return col * (col - 1) * (col - 2) / 6
+
+
+def wedge_count(deg: DataFrame) -> DataFrame:
+    """Paths of length 2 (edge-induced) = Σ_v C(deg(v), 2)."""
+    return deg.select(_c2(F.col("deg")).cast("long").alias("w")).agg(
+        F.sum("w").alias("n_wedges")
+    )
+
+
+def motif3_counts(canonical_edges: DataFrame, dag: DataFrame) -> DataFrame:
+    """3-vertex motifs → ``(n_triangles, n_wedges, n_wedges_induced)``.
+
+    Vertex-induced wedges = wedges − 3·triangles (each triangle
+    contains 3 non-induced wedges) — the formula correction of
+    ``omp_formula.cc:39-48`` in miniature.
+    """
+    deg = degrees(symmetrize(canonical_edges, dedup=False))
+    tri = triangle_count(dag).collect()[0]["n_triangles"]
+    return (
+        wedge_count(deg)
+        .select(
+            F.lit(int(tri)).alias("n_triangles"),
+            F.col("n_wedges"),
+            (F.col("n_wedges") - 3 * int(tri)).alias("n_wedges_induced"),
+        )
+    )
+
+
+def star3_count(deg: DataFrame) -> DataFrame:
+    """3-stars (claws, edge-induced) = Σ_v C(deg(v), 3)."""
+    return deg.agg(F.sum(_c3(F.col("deg")).cast("long")).alias("n_3stars"))
+
+
+def diamond_count(canonical_edges: DataFrame, dag: DataFrame) -> DataFrame:
+    """Diamonds (K4 minus an edge, edge-induced) = Σ_e C(tri(e), 2):
+    pairs of triangles sharing edge e (e = the diamond's central edge)."""
+    pe = per_edge_triangles(canonical_edges, dag, include_zero=False)
+    return pe.agg(
+        F.sum(_c2(F.col("tri_cnt")).cast("long")).alias("n_diamonds")
+    )
+
+
+def tailed_triangle_count(
+    canonical_edges: DataFrame, dag: DataFrame
+) -> DataFrame:
+    """Tailed triangles (edge-induced) = Σ_T Σ_{v∈T} (deg(v) − 2)."""
+    deg = degrees(symmetrize(canonical_edges, dedup=False))
+    tri = enumerate_triangles(dag)
+    corners = (
+        tri.select(F.col("u").alias("id"))
+        .unionByName(tri.select(F.col("v").alias("id")))
+        .unionByName(tri.select(F.col("w").alias("id")))
+    )
+    return (
+        corners.join(deg, "id")
+        .agg(F.sum(F.col("deg") - 2).alias("n_tailed_triangles"))
+    )
+
+
+def path4_count(canonical_edges: DataFrame, dag: DataFrame) -> DataFrame:
+    """4-paths P4 (edge-induced) = Σ_{(u,v)∈E} (deg(u)−1)(deg(v)−1)
+    − 3·triangles."""
+    deg = degrees(symmetrize(canonical_edges, dedup=False))
+    du = deg.select(F.col("id").alias("src"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("id").alias("dst"), F.col("deg").alias("dv"))
+    tri = triangle_count(dag).collect()[0]["n_triangles"]
+    return (
+        canonical_edges.join(F.broadcast(du), "src")
+        .join(F.broadcast(dv), "dst")
+        .agg(
+            (
+                F.sum((F.col("du") - 1) * (F.col("dv") - 1)) - 3 * int(tri)
+            ).alias("n_4paths")
+        )
+    )
+
+
+def pattern_counts(canonical_edges: DataFrame, dag: DataFrame) -> DataFrame:
+    """All named-pattern counts in one row — the engine's answer to the
+    reference's per-pattern golden tables."""
+    deg = degrees(symmetrize(canonical_edges, dedup=False))
+    out = (
+        wedge_count(deg)
+        .crossJoin(star3_count(deg))
+        .crossJoin(triangle_count(dag))
+        .crossJoin(diamond_count(canonical_edges, dag))
+        .crossJoin(tailed_triangle_count(canonical_edges, dag))
+        .crossJoin(path4_count(canonical_edges, dag))
+        .crossJoin(rectangle_count(canonical_edges))
+    )
+    return out.select(
+        "n_wedges",
+        "n_3stars",
+        "n_triangles",
+        "n_diamonds",
+        "n_tailed_triangles",
+        "n_4paths",
+        "n_rectangles",
+    )
+
+
+def rectangle_count(canonical_edges: DataFrame) -> DataFrame:
+    """4-cycles C4 (edge-induced) = ½ Σ_{u<w} C(codeg(u,w), 2).
+
+    codeg via the wedge join grouped by endpoints — the one pattern
+    that genuinely needs the quadratic-ish join (same shape as the
+    reference's rectangle kernel, ``src/sgl/cpu_kernels/rectangle.h``).
+    Wedges come off the degree-ordered DAG-of-midpoints to halve the
+    join, then endpoint pairs are canonicalized.
+    """
+    sym = symmetrize(canonical_edges, dedup=False)
+    e1 = sym.select(F.col("dst").alias("mid"), F.col("src").alias("a"))
+    e2 = sym.select(F.col("src").alias("mid"), F.col("dst").alias("b"))
+    codeg = (
+        e1.join(e2, "mid")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("c"))
+    )
+    return codeg.agg(
+        (F.sum(_c2(F.col("c")).cast("long")) / 2).cast("long").alias("n_rectangles")
+    )

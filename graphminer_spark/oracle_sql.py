@@ -435,3 +435,48 @@ ranked AS (
 )
 SELECT user_id, total_value_c, rank::INT AS rank FROM ranked WHERE rank <= {k}
 """.strip()
+
+
+# ------------------------------------------------------- pattern counts
+
+PATTERN_COUNTS_SQL = f"""
+WITH {GRAPH_CTES}, {TRI_SQL},
+pe AS (
+  SELECT least(a, b) AS src, greatest(a, b) AS dst, count(*) AS tri_cnt
+  FROM (
+    SELECT u AS a, v AS b FROM tri
+    UNION ALL SELECT v AS a, w AS b FROM tri
+    UNION ALL SELECT u AS a, w AS b FROM tri
+  ) GROUP BY 1, 2
+),
+ntri AS (SELECT count(*) AS t FROM tri),
+wst AS (
+  SELECT sum((deg * (deg - 1)) // 2) AS n_wedges,
+         sum((deg * (deg - 1) * (deg - 2)) // 6) AS n_3stars
+  FROM deg
+),
+dia AS (SELECT coalesce(sum((tri_cnt * (tri_cnt - 1)) // 2), 0) AS n_diamonds FROM pe),
+tt AS (
+  SELECT coalesce(sum(d.deg - 2), 0) AS n_tailed_triangles
+  FROM (
+    SELECT u AS id FROM tri
+    UNION ALL SELECT v FROM tri
+    UNION ALL SELECT w FROM tri
+  ) c JOIN deg d ON d.id = c.id
+),
+p4 AS (
+  SELECT sum((du.deg - 1) * (dv.deg - 1)) - 3 * (SELECT t FROM ntri) AS n_4paths
+  FROM edges e JOIN deg du ON du.id = e.src JOIN deg dv ON dv.id = e.dst
+),
+codeg AS (
+  SELECT e1.src AS a, e2.dst AS b, count(*) AS c
+  FROM sym e1 JOIN sym e2 ON e1.dst = e2.src AND e1.src < e2.dst
+  GROUP BY e1.src, e2.dst
+),
+rect AS (
+  SELECT coalesce(sum((c * (c - 1)) // 2), 0) // 2 AS n_rectangles FROM codeg
+)
+SELECT wst.n_wedges, wst.n_3stars, ntri.t AS n_triangles, dia.n_diamonds,
+       tt.n_tailed_triangles, p4.n_4paths, rect.n_rectangles
+FROM wst, ntri, dia, tt, p4, rect
+""".strip()

@@ -116,3 +116,83 @@ def sync_label_propagation(
             new[v] = best[0]
         label = new
     return label
+
+
+def brute_pattern_counts(edges: list[tuple[int, int]]) -> dict[str, int]:
+    """Edge-induced (subgraph-containment) counts of the small named
+    patterns by direct enumeration — independent of the formula-based
+    rewrites in ``algorithms.motifs``. Small graphs only."""
+    from itertools import combinations
+
+    adj: dict[int, set[int]] = {}
+    canon = set()
+    for a, b in edges:
+        if a == b:
+            continue
+        canon.add((min(a, b), max(a, b)))
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    verts = sorted(adj)
+
+    wedges = 0
+    stars3 = 0
+    for v in verts:
+        d = len(adj[v])
+        wedges += d * (d - 1) // 2
+        stars3 += d * (d - 1) * (d - 2) // 6
+
+    triangles = [
+        (a, b, c)
+        for a, b in canon
+        for c in sorted(adj[a] & adj[b])
+        if c > b
+    ]
+
+    # diamonds: pairs of triangles sharing an edge
+    tri_per_edge: dict[tuple[int, int], int] = {}
+    for t in triangles:
+        for x, y in combinations(t, 2):
+            e = (min(x, y), max(x, y))
+            tri_per_edge[e] = tri_per_edge.get(e, 0) + 1
+    diamonds = sum(k * (k - 1) // 2 for k in tri_per_edge.values())
+
+    tailed = 0
+    for t in triangles:
+        ts = set(t)
+        for v in t:
+            tailed += len(adj[v] - ts)
+
+    # P4: ordered walks a-b-c-d on 4 distinct vertices, halved
+    p4 = 0
+    for b, c in canon:
+        for pair in ((b, c), (c, b)):
+            bb, cc = pair
+            for a in adj[bb]:
+                if a == cc:
+                    continue
+                for d in adj[cc]:
+                    if d != bb and d != a:
+                        p4 += 1
+    p4 //= 2
+
+    # C4: ordered closed walks a-b-c-d-a on distinct vertices, / 8
+    c4 = 0
+    for a in verts:
+        for b in adj[a]:
+            for c in adj[b]:
+                if c == a:
+                    continue
+                for d in adj[c] & adj[a]:
+                    if d != b:
+                        c4 += 1
+    c4 //= 8
+
+    return {
+        "n_wedges": wedges,
+        "n_3stars": stars3,
+        "n_triangles": len(triangles),
+        "n_diamonds": diamonds,
+        "n_tailed_triangles": tailed,
+        "n_4paths": p4,
+        "n_rectangles": c4,
+    }
