@@ -41,7 +41,13 @@ from graphminer_spark.oracle_sql import (
     quality_sql,
     simhash_neardup_sql,
 )
+from graphminer_spark.algorithms.kcore import kcore
 from graphminer_spark.algorithms.motifs import pattern_counts
+from graphminer_spark.graph.labels import (
+    label_frequency,
+    nlf,
+    with_synthetic_labels,
+)
 from graphminer_spark.oracle_sql import (
     EV_WINDOWED_SQL,
     PATTERN_COUNTS_SQL,
@@ -127,6 +133,27 @@ def _graph_vertices(spark: SparkSession, sf_dir: str):
     edges = tpch_edges(spark, sf_dir)
     sym = symmetrize(edges, dedup=False)
     return edges, sym, degrees(sym).select("id")
+
+
+def _q_label_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, _, verts = _graph_vertices(spark, sf_dir)
+    return label_frequency(with_synthetic_labels(verts))
+
+
+def _q_nlf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, sym, verts = _graph_vertices(spark, sf_dir)
+    return nlf(sym, with_synthetic_labels(verts))
+
+
+def _q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # adaptive k = 2/3 of mean degree: deep enough that peeling removes
+    # vertices, shallow enough that the core is non-empty at every sf;
+    # rows-only check (iterative fixpoint — not one SQL statement)
+    edges, sym, verts = _graph_vertices(spark, sf_dir)
+    m = sym.count()
+    n = verts.count()
+    k = max(2, (m // n) * 2 // 3)
+    return kcore(sym, k=k)
 
 
 def _q_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -267,6 +294,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tc_per_edge": _q_tc_per_edge,
         "clique4_total": _q_clique4,
         "pattern_counts": _q_patterns,
+        "graph_label_freq": _q_label_freq,
+        "graph_nlf": _q_nlf,
+        "graph_kcore": _q_kcore,
         "cc_components": _q_cc,
         "cc_sizes": _q_cc_sizes,
         "lp_labels_2iter": _q_lp2,
@@ -312,6 +342,14 @@ def oracle_sql() -> dict[str, str]:
             with_tri=True,
         ),
         "pattern_counts": PATTERN_COUNTS_SQL,
+        "graph_label_freq": graph_query(
+            "SELECT (id % 7)::INT AS vlabel, count(*) AS n FROM deg GROUP BY 1"
+        ),
+        "graph_nlf": graph_query(
+            "SELECT src AS id, (dst % 7)::INT AS vlabel, count(*) AS n "
+            "FROM sym GROUP BY 1, 2"
+        ),
+        # graph_kcore: iterative fixpoint — rows-only check by design
         "cc_components": CC_SQL,
         "cc_sizes": (
             f"WITH _cc AS ({CC_SQL}) "

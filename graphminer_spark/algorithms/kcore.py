@@ -1,0 +1,83 @@
+"""k-core decomposition by iterative peeling.
+
+Reference: bucket-sort peeling in ``src/common/graph.cc:679-729``
+(used by the subgraph-query filter stage). The distributed form is the
+standard iterate-until-fixpoint: repeatedly drop vertices with degree
+< k and recompute degrees — each round one join + one aggregate, state
+checkpointed like every other iterative algorithm here.
+
+``kcore(edges, k)`` returns the k-core's vertex set; ``core_numbers``
+returns every vertex's coreness (peel with increasing k).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from graphminer_spark.checkpoint import CheckpointManager
+from graphminer_spark.graph.build import degrees
+
+
+def kcore(
+    sym_edges: DataFrame,
+    k: int,
+    checkpointer: CheckpointManager | None = None,
+    max_iter: int = 100,
+) -> DataFrame:
+    """Vertices of the k-core → ``(id,)``."""
+    ckpt = checkpointer or CheckpointManager(None)
+    edges = sym_edges.select("src", "dst")
+    edges = ckpt.save(edges, 0, {"algo": f"kcore{k}"})
+    for it in range(1, max_iter + 1):
+        deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+        keep = deg.filter(F.col("deg") >= k).select("src")
+        new_edges = (
+            edges.join(keep, "src", "left_semi")
+            .join(keep.select(F.col("src").alias("dst")), "dst", "left_semi")
+        )
+        new_edges = ckpt.save(new_edges, it, {"algo": f"kcore{k}"})
+        old_n, new_n = edges.count(), new_edges.count()
+        edges = new_edges
+        if new_n == old_n:
+            break
+    return edges.select(F.col("src").alias("id")).distinct()
+
+
+def core_numbers(
+    sym_edges: DataFrame, max_k: int = 64
+) -> DataFrame:
+    """Coreness per vertex → ``(id, core)``.
+
+    Driver loop over k (the coreness range of web graphs is modest);
+    each level reuses the previous core's edge set, so total work is
+    the telescoping sum the peeling algorithm does natively.
+    """
+    spark = sym_edges.sparkSession
+    edges = sym_edges.select("src", "dst").localCheckpoint(eager=True)
+    all_ids = edges.select(F.col("src").alias("id")).distinct()
+    result = all_ids.select("id", F.lit(0).alias("core")).localCheckpoint(True)
+    for k in range(1, max_k + 1):
+        core_ids = kcore(edges, k)
+        n = core_ids.count()
+        if n == 0:
+            break
+        result = (
+            result.join(core_ids.withColumnRenamed("id", "_kid"),
+                        result["id"] == F.col("_kid"), "left")
+            .select(
+                "id",
+                F.when(F.col("_kid").isNotNull(), F.lit(k))
+                .otherwise(F.col("core"))
+                .alias("core"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        # restrict further peeling to the current core's induced edges
+        keep = core_ids.select(F.col("id").alias("src"))
+        edges = (
+            edges.join(keep, "src", "left_semi")
+            .join(keep.select(F.col("src").alias("dst")), "dst", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    return result

@@ -196,3 +196,31 @@ def brute_pattern_counts(edges: list[tuple[int, int]]) -> dict[str, int]:
         "n_4paths": p4,
         "n_rectangles": c4,
     }
+
+
+def brute_core_numbers(edges: list[tuple[int, int]]) -> dict[int, int]:
+    """Coreness per vertex by sequential peeling."""
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    deg = {v: len(ns) for v, ns in adj.items()}
+    core = dict.fromkeys(adj, 0)
+    remaining = set(adj)
+    k = 0
+    while remaining:
+        k += 1
+        changed = True
+        while changed:
+            drop = [v for v in remaining if deg[v] < k]
+            changed = bool(drop)
+            for v in drop:
+                remaining.discard(v)
+                for u in adj[v]:
+                    if u in remaining:
+                        deg[u] -= 1
+        for v in remaining:
+            core[v] = k
+    return core

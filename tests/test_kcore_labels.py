@@ -1,0 +1,58 @@
+"""k-core peeling and label operators vs python oracles."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from graphminer_spark.algorithms.kcore import core_numbers, kcore
+from graphminer_spark.graph.build import symmetrize
+from graphminer_spark.graph.labels import (
+    label_frequency,
+    nlf,
+    reverse_label_index,
+    with_synthetic_labels,
+)
+from graphminer_spark.oracles import brute_core_numbers
+from tests.conftest import edges_df
+
+
+def _random_graph(n, m, seed):
+    rng = random.Random(seed)
+    return [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+
+
+def test_kcore_vs_peeling_oracle(spark):
+    edges = _random_graph(120, 500, seed=2)
+    oracle = brute_core_numbers(edges)
+    sym = symmetrize(edges_df(spark, edges), dedup=False).persist()
+    for k in (2, 3, 4):
+        want = {v for v, c in oracle.items() if c >= k}
+        got = {r["id"] for r in kcore(sym, k).collect()}
+        assert got == want, f"k={k}"
+
+
+def test_core_numbers(spark):
+    edges = _random_graph(80, 300, seed=5)
+    oracle = brute_core_numbers(edges)
+    sym = symmetrize(edges_df(spark, edges), dedup=False)
+    got = {r["id"]: r["core"] for r in core_numbers(sym).collect()}
+    assert got == oracle
+
+
+def test_label_ops(spark):
+    edges = [(0, 1), (0, 2), (1, 2), (2, 3)]
+    sym = symmetrize(edges_df(spark, edges), dedup=False)
+    verts = spark.range(4).select("id")
+    lv = with_synthetic_labels(verts, n_classes=2)  # labels: id % 2
+    freq = {r["vlabel"]: r["n"] for r in label_frequency(lv).collect()}
+    assert freq == {0: 2, 1: 2}
+    got = {
+        (r["id"], r["vlabel"]): r["n"] for r in nlf(sym, lv).collect()
+    }
+    # vertex 2 (nbrs 0,1,3 → labels 0,1,1), vertex 0 (nbrs 1,2 → 1,0)
+    assert got[(2, 1)] == 2 and got[(2, 0)] == 1
+    assert got[(0, 0)] == 1 and got[(0, 1)] == 1
+    idx = {r["vlabel"]: r["ids"] for r in reverse_label_index(lv).collect()}
+    assert idx == {0: [0, 2], 1: [1, 3]}
