@@ -15,13 +15,18 @@ from pyspark.sql import functions as F
 
 from graphminer_spark.algorithms.components import connected_components
 from graphminer_spark.algorithms.labelprop import label_propagation
-from graphminer_spark.algorithms.pagerank import pagerank
+from graphminer_spark.algorithms.pagerank import pagerank, pagerank_csr
 from graphminer_spark.algorithms.triangles import (
     clique4_count,
     per_edge_triangles,
     triangle_count,
 )
-from graphminer_spark.graph.build import build_dag, degrees, symmetrize
+from graphminer_spark.graph.build import (
+    build_dag,
+    csr_blocks,
+    degrees,
+    symmetrize,
+)
 from graphminer_spark.graph.tpch_edges import tpch_edges
 from graphminer_spark.oracle_sql import (
     CC_SQL,
@@ -54,7 +59,12 @@ from graphminer_spark.oracle_sql import (
     sessionize_sql,
     top_users_sql,
 )
-from graphminer_spark.similarity import embedding_neardup, knn_bruteforce
+from graphminer_spark.oracle_sql import lsh_ann_sql
+from graphminer_spark.similarity import (
+    embedding_neardup,
+    knn_bruteforce,
+    lsh_ann,
+)
 from graphminer_spark.streaming.events import (
     sessionize,
     top_users_by_value,
@@ -182,6 +192,18 @@ def _q_pagerank5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pagerank5_csr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same 5-superstep PageRank via the CSR-block gather-scatter
+    (applyInPandas) path — checked against the same SQL oracle as the
+    join-based variant: two independent implementations, one truth."""
+    edges, _, verts = _graph_vertices(spark, sf_dir)
+    blocks = csr_blocks(edges, num_blocks=16)
+    res = pagerank_csr(blocks, verts, tol=0.0, max_iter=5)
+    return res.ranks.select(
+        "id", F.format_string("%.6f", F.col("rank")).alias("rank_s")
+    )
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
@@ -244,6 +266,10 @@ def _q_knn(spark, sf_dir):
     return knn_bruteforce(embs, q, k=KNN_K)
 
 
+def _q_lsh_ann(spark, sf_dir):
+    return lsh_ann(_embs(spark, sf_dir), dim=EMB_DIM, k=KNN_K, n_planes=4)
+
+
 def _q_emb_neardup(spark, sf_dir):
     # 4 planes / τ=0.25 picked so the demo corpus yields non-trivial
     # output (sf0.01 cosine max ≈ 0.51); production near-dup would use
@@ -285,6 +311,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_simhash": _q_simhash,
         "docs_simhash_neardup": _q_simhash_neardup,
         "emb_knn": _q_knn,
+        "emb_lsh_ann": _q_lsh_ann,
         "emb_neardup": _q_emb_neardup,
         "graph_edges": _q_edges,
         "graph_degrees": _q_degrees,
@@ -301,6 +328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_sizes": _q_cc_sizes,
         "lp_labels_2iter": _q_lp2,
         "pagerank_5iter": _q_pagerank5,
+        "pagerank_5iter_csr": _q_pagerank5_csr,
     }
 
 
@@ -357,6 +385,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "lp_labels_2iter": lp_sql(2),
         "pagerank_5iter": pagerank_sql(5),
+        "pagerank_5iter_csr": pagerank_sql(5),
         "docs_exact_dedup": EXACT_DEDUP_SQL,
         "docs_token_count": TOKEN_COUNT_SQL,
         "docs_quality": quality_sql(STOPWORDS),
@@ -368,6 +397,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_simhash": SIMHASH_SQL,
         "docs_simhash_neardup": simhash_neardup_sql(20),
         "emb_knn": knn_sql(KNN_K, KNN_QUERIES),
+        "emb_lsh_ann": lsh_ann_sql(KNN_K, 4, EMB_DIM),
         "emb_neardup": emb_neardup_sql(0.25, 4, EMB_DIM),
         "ev_windowed_counts": EV_WINDOWED_SQL,
         "ev_sessions": sessionize_sql(30),

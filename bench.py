@@ -37,7 +37,11 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     pr_iters = int(os.environ.get("SPARK_GRAFT_PR_ITERS", "0"))  # 0 = to 1e-6
-    spark = get_spark("graphminer-bench", cores=cpus)
+    # shuffle partitions sized to the data, not the core count: at
+    # sf0.1 (~600k edges) 32 partitions is pure task overhead — 8 is
+    # ~2x faster end-to-end; real clusters size this by input bytes
+    shuffle = int(os.environ.get("SPARK_GRAFT_SHUFFLE", str(max(8, cpus // 4))))
+    spark = get_spark("graphminer-bench", cores=cpus, shuffle_partitions=shuffle)
 
     timings: dict[str, float] = {}
     extras: dict[str, float | int | str] = {"cpus": cpus}

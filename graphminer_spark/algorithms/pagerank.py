@@ -130,6 +130,11 @@ def pagerank(
         )
         prev = ranks
         ranks = ckpt.save(new_ranks, it, {"algo": "pagerank"})
+        if tol <= 0 and n_dangling == 0:
+            # fixed-iteration run on a dangling-free graph: neither the
+            # L1 delta nor the dangling mass is needed — one job per
+            # superstep (the checkpoint materialization)
+            continue
         row = (
             ranks.alias("n")
             .join(prev.alias("o"), "id")

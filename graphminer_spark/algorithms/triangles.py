@@ -77,6 +77,54 @@ def per_edge_triangles(
     )
 
 
+def triangle_count_csr(dag: DataFrame, num_blocks: int = 32) -> DataFrame:
+    """Second, independent TC implementation: per-block numpy
+    merge-intersections over CSR rows (the reference's actual kernel
+    shape — ``intersection_num`` per DAG edge,
+    ``src/triangle/omp_base.cc:15-21`` — vectorized with
+    ``np.intersect1d`` inside Arrow batches).
+
+    Used for cross-implementation agreement testing, mirroring the
+    reference's ≥2-kernels-per-workload redundancy (SURVEY §5). The
+    join variant stays the scale default (no Python in the loop); this
+    one demonstrates the CSR/pandas-UDF physical strategy with a
+    broadcast adjacency.
+
+    Output: single row ``(n_triangles: long)``.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from graphminer_spark.graph.build import csr_blocks
+
+    spark = dag.sparkSession
+    blocks = csr_blocks(dag, num_blocks=num_blocks)
+    # adjacency of the DAG fits the driver comfortably for graphs whose
+    # vertex count fits one machine (out-deg ≤ O(sqrt m)); at true
+    # 100 TB scale the closing side would be a shuffled CSR partition
+    adj = {
+        r["src"]: np.asarray(r["nbrs"], dtype=np.int64)
+        for r in blocks.collect()
+    }
+    badj = spark.sparkContext.broadcast(adj)
+
+    def count_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        a = badj.value
+        total = 0
+        for src, nbrs in zip(pdf["src"], pdf["nbrs"]):
+            n_u = np.asarray(nbrs, dtype=np.int64)
+            for v in n_u:
+                n_v = a.get(int(v))
+                if n_v is not None:
+                    total += len(np.intersect1d(n_u, n_v, assume_unique=True))
+        return pd.DataFrame({"n": [total]})
+
+    partials = blocks.groupBy("block").applyInPandas(
+        count_block, schema="n long"
+    )
+    return partials.agg(F.sum("n").alias("n_triangles"))
+
+
 def clique4_count(dag: DataFrame) -> DataFrame:
     """4-clique count: extend each triangle by a common out-neighbor.
 

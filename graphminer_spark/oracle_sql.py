@@ -480,3 +480,38 @@ SELECT wst.n_wedges, wst.n_3stars, ntri.t AS n_triangles, dia.n_diamonds,
        tt.n_tailed_triangles, p4.n_4paths, rect.n_rectangles
 FROM wst, ntri, dia, tt, p4, rect
 """.strip()
+
+
+def lsh_ann_sql(k: int, n_planes: int, dim: int) -> str:
+    """Bucketed approximate top-k (mirrors similarity.lsh_ann)."""
+    plane_cases = []
+    for p in range(n_planes):
+        coeffs = ", ".join(
+            str((((p + 1) * 1315423911) ^ ((j + 1) * 2654435761)) % 2001 / 1000.0 - 1.0)
+            for j in range(dim)
+        )
+        plane_cases.append(
+            f"(CASE WHEN list_dot_product(v, [{coeffs}]::DOUBLE[]) >= 0 "
+            f"THEN {1 << p} ELSE 0 END)"
+        )
+    bucket = " + ".join(plane_cases)
+    return f"""
+WITH e AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS v FROM embeddings),
+b AS (SELECT vec_id, v, ({bucket})::BIGINT AS bucket FROM e),
+pairs AS (
+  SELECT l.vec_id AS query_id, r.vec_id AS neighbor_id,
+         round(list_dot_product(l.v, r.v)
+               / (sqrt(list_dot_product(l.v, l.v))
+                  * sqrt(list_dot_product(r.v, r.v))), 6) AS sim
+  FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id <> r.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY sim DESC, neighbor_id
+         ) AS rank
+  FROM pairs
+)
+SELECT query_id, neighbor_id, rank::INT AS rank, printf('%.6f', sim) AS sim_s
+FROM ranked WHERE rank <= {k}
+""".strip()
