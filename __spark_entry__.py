@@ -28,6 +28,11 @@ from graphminer_spark.graph.build import (
     symmetrize,
 )
 from graphminer_spark.graph.tpch_edges import tpch_edges
+from graphminer_spark.olap import (
+    order_status_pivot,
+    revenue_rollup,
+    top_parts_per_supplier,
+)
 from graphminer_spark.oracle_sql import (
     CC_SQL,
     EXACT_DEDUP_SQL,
@@ -48,6 +53,11 @@ from graphminer_spark.oracle_sql import (
 )
 from graphminer_spark.algorithms.kcore import kcore
 from graphminer_spark.algorithms.motifs import pattern_counts
+from graphminer_spark.algorithms.patterns import (
+    clique_count,
+    fsm_edge_support,
+    labeled_triangle_count,
+)
 from graphminer_spark.graph.labels import (
     label_frequency,
     nlf,
@@ -55,6 +65,9 @@ from graphminer_spark.graph.labels import (
 )
 from graphminer_spark.oracle_sql import (
     EV_WINDOWED_SQL,
+    clique_sql,
+    fsm_edge_support_sql,
+    labeled_tri_sql,
     PATTERN_COUNTS_SQL,
     sessionize_sql,
     top_users_sql,
@@ -139,6 +152,21 @@ def _q_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pattern_counts(edges, build_dag(edges))
 
 
+def _q_clique5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return clique_count(build_dag(tpch_edges(spark, sf_dir)), 5)
+
+
+def _q_labeled_tri(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges, _, verts = _graph_vertices(spark, sf_dir)
+    lv = with_synthetic_labels(verts)
+    return labeled_triangle_count(build_dag(edges), lv, (0, 1, 2))
+
+
+def _q_fsm_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, sym, verts = _graph_vertices(spark, sf_dir)
+    return fsm_edge_support(sym, with_synthetic_labels(verts), minsup=130)
+
+
 def _graph_vertices(spark: SparkSession, sf_dir: str):
     edges = tpch_edges(spark, sf_dir)
     sym = symmetrize(edges, dedup=False)
@@ -202,6 +230,18 @@ def _q_pagerank5_csr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.ranks.select(
         "id", F.format_string("%.6f", F.col("rank")).alias("rank_s")
     )
+
+
+def _q_rollup(spark, sf_dir):
+    return revenue_rollup(spark.read.parquet(f"{sf_dir}/lineitem.parquet"))
+
+
+def _q_top_parts(spark, sf_dir):
+    return top_parts_per_supplier(spark.read.parquet(f"{sf_dir}/lineitem.parquet"))
+
+
+def _q_pivot(spark, sf_dir):
+    return order_status_pivot(spark.read.parquet(f"{sf_dir}/orders.parquet"))
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -297,6 +337,9 @@ def _q_ev_top_users(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "olap_revenue_rollup": _q_rollup,
+        "olap_top_parts": _q_top_parts,
+        "olap_status_pivot": _q_pivot,
         "ev_windowed_counts": _q_ev_windows,
         "ev_sessions": _q_ev_sessions,
         "ev_top_users": _q_ev_top_users,
@@ -320,6 +363,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tc_total": _q_tc_total,
         "tc_per_edge": _q_tc_per_edge,
         "clique4_total": _q_clique4,
+        "clique5_total": _q_clique5,
+        "labeled_tri_count": _q_labeled_tri,
+        "fsm_edge_support": _q_fsm_edges,
         "pattern_counts": _q_patterns,
         "graph_label_freq": _q_label_freq,
         "graph_nlf": _q_nlf,
@@ -369,6 +415,9 @@ def oracle_sql() -> dict[str, str]:
             """,
             with_tri=True,
         ),
+        "clique5_total": clique_sql(5),
+        "labeled_tri_count": labeled_tri_sql(0, 1, 2),
+        "fsm_edge_support": fsm_edge_support_sql(130),
         "pattern_counts": PATTERN_COUNTS_SQL,
         "graph_label_freq": graph_query(
             "SELECT (id % 7)::INT AS vlabel, count(*) AS n FROM deg GROUP BY 1"
@@ -399,6 +448,31 @@ def oracle_sql() -> dict[str, str]:
         "emb_knn": knn_sql(KNN_K, KNN_QUERIES),
         "emb_lsh_ann": lsh_ann_sql(KNN_K, 4, EMB_DIM),
         "emb_neardup": emb_neardup_sql(0.25, 4, EMB_DIM),
+        "olap_revenue_rollup": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(l_quantity)::BIGINT AS sum_qty,
+                   printf('%.2f', sum(l_extendedprice * (1 - l_discount))) AS revenue_s
+            FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        """,
+        "olap_top_parts": """
+            WITH agg AS (
+              SELECT l_suppkey, l_partkey, sum(l_quantity)::BIGINT AS qty
+              FROM lineitem GROUP BY 1, 2
+            ), ranked AS (
+              SELECT l_suppkey, l_partkey, qty,
+                     row_number() OVER (PARTITION BY l_suppkey
+                                        ORDER BY qty DESC, l_partkey) AS rank
+              FROM agg
+            ) SELECT l_suppkey, l_partkey, qty, rank::INT AS rank
+              FROM ranked WHERE rank <= 3
+        """,
+        "olap_status_pivot": """
+            SELECT o_orderpriority,
+                   sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS "n_O",
+                   sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS "n_F",
+                   sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS "n_P"
+            FROM orders GROUP BY o_orderpriority
+        """,
         "ev_windowed_counts": EV_WINDOWED_SQL,
         "ev_sessions": sessionize_sql(30),
         "ev_top_users": top_users_sql(10),

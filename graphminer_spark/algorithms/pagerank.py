@@ -60,89 +60,98 @@ def pagerank(
     max_iter: int = 100,
     checkpointer: CheckpointManager | None = None,
     resume: bool = False,
+    lineage_every: int = 1,
 ) -> PageRankResult:
     """Directed PageRank over ``edges(src,dst)`` / ``vertices(id)``.
 
     Returns ranks summing to 1.0. ``resume=True`` continues from the
     checkpointer's latest durable state (north-rule resumability).
+    ``lineage_every`` > 1 (fixed-iteration dangling-free fast path
+    only) truncates lineage every K supersteps instead of every one —
+    fewer barrier jobs; plan depth stays bounded at K supersteps.
     """
     spark = edges.sparkSession
     ckpt = checkpointer or CheckpointManager(None)
     n = vertices.count()
-    verts = _prepare(edges, vertices)
-    # edges partitioned by src and persisted: every superstep's
-    # ranks⋈edges join reuses this layout instead of re-scanning.
+    # verts(id, out_deg) hash-partitioned by id and persisted: the per-
+    # superstep rank-update join reuses this layout with NO exchange on
+    # the verts side and NO broadcast (a 10^9-vertex table can't be
+    # broadcast, and broadcasting even a small one serializes through
+    # the driver every superstep).
+    verts = _prepare(edges, vertices).repartition("id").persist()
+    verts.count()
+    # edges partitioned by src and persisted likewise.
     e = edges.select("src", "dst").repartition("src").persist()
     e.count()
-    verts = verts.persist()
 
-    # dangling vertex set is static — compute once, broadcast into the
-    # per-superstep delta/dangling aggregate
-    dangling_ids = verts.filter(F.col("out_deg") == 0).select(
-        "id", F.lit(True).alias("_dangling")
-    ).persist()
-    n_dangling = dangling_ids.count()
+    n_dangling = verts.filter(F.col("out_deg") == 0).count()
 
     start_iter = 0
-    ranks = None
+    state = None  # (id, rank, out_deg)
     if resume:
         latest = ckpt.latest(spark)
         if latest is not None:
-            start_iter, ranks = latest
-    if ranks is None:
-        ranks = verts.select("id", F.lit(1.0 / n).alias("rank"))
-        ranks = ckpt.save(ranks, 0, {"algo": "pagerank", "delta": float("inf")})
-    # dangling mass of the current state (uniform init: n_dangling/n)
-    dangling = (
-        ranks.join(F.broadcast(dangling_ids), "id", "left_semi")
-        .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-        .collect()[0][0]
-        if start_iter > 0
-        else n_dangling / n
-    )
+            start_iter, state = latest
+            if "out_deg" not in state.columns:  # older checkpoint layout
+                state = state.join(verts, "id")
+    if state is None:
+        state = verts.select("id", F.lit(1.0 / n).alias("rank"), "out_deg")
+        state = ckpt.save(state, 0, {"algo": "pagerank", "delta": float("inf")})
+        dangling = n_dangling / n
+    else:
+        dangling = (
+            state.filter(F.col("out_deg") == 0)
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+            .collect()[0][0]
+        )
 
     deltas: list[float] = []
     converged = False
     it = start_iter
-    # two actions per superstep: (1) materialize new ranks (checkpoint /
+    # two actions per superstep: (1) materialize new state (checkpoint /
     # lineage truncation), (2) one fused aggregate computing BOTH the L1
-    # delta and the next iteration's dangling mass.
+    # delta and the next iteration's dangling mass. Fixed-iteration
+    # dangling-free runs skip (2) and checkpoint every lineage_every.
     for it in range(start_iter + 1, max_iter + 1):
         contribs = (
-            ranks.join(verts, "id")
-            .filter(F.col("out_deg") > 0)
-            .select("id", (F.col("rank") / F.col("out_deg")).alias("share"))
-            .join(e, F.col("id") == e["src"])
+            state.filter(F.col("out_deg") > 0)
+            .select(
+                F.col("id").alias("src"),
+                (F.col("rank") / F.col("out_deg")).alias("share"),
+            )
+            .join(e, "src")
             .groupBy(F.col("dst").alias("id"))
             .agg(F.sum("share").alias("contrib"))
         )
         base = (1.0 - damping) / n + damping * dangling / n
-        new_ranks = (
-            verts.select("id")
-            .join(contribs, "id", "left")
+        new_state = (
+            verts.join(contribs.hint("shuffle_hash"), "id", "left")
             .select(
                 "id",
                 (
                     F.lit(base)
                     + F.lit(damping) * F.coalesce("contrib", F.lit(0.0))
                 ).alias("rank"),
+                "out_deg",
             )
         )
-        prev = ranks
-        ranks = ckpt.save(new_ranks, it, {"algo": "pagerank"})
+        prev = state
         if tol <= 0 and n_dangling == 0:
-            # fixed-iteration run on a dangling-free graph: neither the
-            # L1 delta nor the dangling mass is needed — one job per
-            # superstep (the checkpoint materialization)
+            if it % lineage_every == 0 or it == max_iter:
+                state = ckpt.save(new_state, it, {"algo": "pagerank"})
+            else:
+                state = new_state
             continue
+        state = ckpt.save(new_state, it, {"algo": "pagerank"})
         row = (
-            ranks.alias("n")
+            state.alias("n")
             .join(prev.alias("o"), "id")
-            .join(F.broadcast(dangling_ids), "id", "left")
             .agg(
                 F.sum(F.abs(F.col("n.rank") - F.col("o.rank"))).alias("delta"),
                 F.coalesce(
-                    F.sum(F.when(F.col("_dangling"), F.col("n.rank"))),
+                    F.sum(
+                        F.when(F.col("n.out_deg") == 0, F.col("n.rank"))
+                    ),
                     F.lit(0.0),
                 ).alias("dangling"),
             )
@@ -157,8 +166,8 @@ def pagerank(
     if ckpt.base_dir and it % ckpt.every != 0:
         # last iteration fell between durable checkpoints — persist it
         # (same-iteration re-save would overwrite the path being read)
-        ranks = ckpt.save(ranks, it, {"algo": "pagerank", "final": True}, force=True)
-    return PageRankResult(ranks, it, converged, deltas)
+        state = ckpt.save(state, it, {"algo": "pagerank", "final": True}, force=True)
+    return PageRankResult(state.select("id", "rank"), it, converged, deltas)
 
 
 # ------------------------------------------------------------------ CSR path

@@ -1,0 +1,104 @@
+"""Generalized clique counting, labeled subgraph matching, and FSM
+edge-pattern support.
+
+* ``clique_count(dag, k)`` — the reference's k-clique kernels
+  (``src/clique/cpu_kernels/clique_base.h``, k=3..5 ad-hoc; GPU k≤8)
+  generalized: level i adds one vertex that is a DAG-out-neighbor of
+  every current member — k−2 chained joins, each a bounded
+  intersection in relational form.
+* ``labeled_triangle_count`` — a miniature of the Query workload
+  (``src/query/omp_base.cc``): label-filtered candidates (the CFL/NLF
+  filter stage as broadcast semi-joins) then the enumeration join.
+* ``fsm_edge_support`` — FSM's single-edge seeding phase
+  (``src/fsm/omp_base.cc:19-148``): per edge-label-pattern MNI domain
+  support = min over pattern positions of distinct mapped vertices
+  (``src/fsm/domain_support.h``), frequent iff ≥ minsup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def clique_count(dag: DataFrame, k: int) -> DataFrame:
+    """Count k-cliques (k ≥ 3) over the degree-ordered DAG → single row
+    ``(n_kcliques: long)``. Each level's join keys are the full current
+    member set, so Catalyst plans hash joins keyed on (member, cand)."""
+    assert k >= 3
+    clq = dag.select(F.col("src").alias("v1"), F.col("dst").alias("v2"))
+    for i in range(3, k + 1):
+        new = f"v{i}"
+        cand = clq.join(
+            dag.select(F.col("src").alias(f"v{i - 1}"), F.col("dst").alias(new)),
+            f"v{i - 1}",
+        )
+        for j in range(1, i - 1):
+            ej = dag.select(F.col("src").alias(f"v{j}"), F.col("dst").alias(new))
+            cand = cand.join(ej, [f"v{j}", new])
+        clq = cand
+    return clq.agg(F.count("*").alias(f"n_{k}cliques"))
+
+
+def labeled_triangle_count(
+    dag: DataFrame, labeled_vertices: DataFrame, labels: tuple[int, int, int]
+) -> DataFrame:
+    """Triangles whose (deg,id)-ordered corners carry ``labels`` →
+    ``(n_matches: long)``.
+
+    Pipeline mirrors the reference's filter→enumerate: per-position
+    candidate sets are label-filtered first (broadcast), so the joins
+    only see surviving vertices.
+    """
+    la, lb, lc = labels
+    cand = {
+        lab: F.broadcast(
+            labeled_vertices.filter(F.col("vlabel") == lab).select("id")
+        )
+        for lab in set(labels)
+    }
+    e1 = dag.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    e2 = dag.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    e3 = dag.select(F.col("src").alias("u"), F.col("dst").alias("w"))
+    tri = (
+        e1.join(cand[la].withColumnRenamed("id", "u"), "u", "left_semi")
+        .join(cand[lb].withColumnRenamed("id", "v"), "v", "left_semi")
+        .join(e2, "v")
+        .join(cand[lc].withColumnRenamed("id", "w"), "w", "left_semi")
+        .join(e3, ["u", "w"])
+    )
+    return tri.agg(F.count("*").alias("n_matches"))
+
+
+def fsm_edge_support(
+    sym_edges: DataFrame,
+    labeled_vertices: DataFrame,
+    minsup: int,
+) -> DataFrame:
+    """Frequent single-edge patterns by MNI domain support →
+    ``(la, lb, support)`` with la ≤ lb, support ≥ minsup.
+
+    MNI support of pattern (la)-(lb) = min(|distinct u mapped to
+    position la|, |distinct v mapped to position lb|) over all edge
+    embeddings — the anti-monotone support the reference uses
+    (``src/fsm/domain_support.h``).
+    """
+    lv = F.broadcast(labeled_vertices)
+    lab = (
+        sym_edges.join(lv.select(F.col("id").alias("src"), F.col("vlabel").alias("la")), "src")
+        .join(lv.select(F.col("id").alias("dst"), F.col("vlabel").alias("lb")), "dst")
+        .filter(F.col("la") <= F.col("lb"))
+    )
+    support = (
+        lab.groupBy("la", "lb")
+        .agg(
+            F.countDistinct("src").alias("d1"),
+            F.countDistinct("dst").alias("d2"),
+        )
+        .select(
+            "la",
+            "lb",
+            F.least("d1", "d2").alias("support"),
+        )
+    )
+    return support.filter(F.col("support") >= minsup)

@@ -32,12 +32,12 @@ EDGES_SQL = f"""
 WITH _v AS (
   SELECT greatest({MIN_VERTICES}, count(*) // {VERTEX_DIVISOR}) AS nv FROM lineitem
 ),
-_raw AS (
+_raw AS MATERIALIZED (
   SELECT l_orderkey % nv AS a,
          (l_partkey + 7 * l_suppkey + 13 * l_linenumber) % nv AS b
   FROM lineitem CROSS JOIN _v
 ),
-edges AS (
+edges AS MATERIALIZED (
   SELECT DISTINCT least(a, b) AS src, greatest(a, b) AS dst
   FROM _raw WHERE a <> b
 )

@@ -15,15 +15,15 @@ from graphminer_spark.graph.tpch_edges import EDGES_SQL
 
 # symmetric (both directions) view on top of the canonical edges CTE
 SYM_SQL = (
-    "sym AS (SELECT src, dst FROM edges "
+    "sym AS MATERIALIZED (SELECT src, dst FROM edges "
     "UNION ALL SELECT dst AS src, src AS dst FROM edges)"
 )
 
-DEG_SQL = "deg AS (SELECT src AS id, count(*) AS deg FROM sym GROUP BY src)"
+DEG_SQL = "deg AS MATERIALIZED (SELECT src AS id, count(*) AS deg FROM sym GROUP BY src)"
 
 # degree-ordered DAG: keep u→v iff (deg(v), v) > (deg(u), u)
 DAG_SQL = """
-dag AS (
+dag AS MATERIALIZED (
   SELECT CASE WHEN keep_fwd THEN src ELSE dst END AS src,
          CASE WHEN keep_fwd THEN dst ELSE src END AS dst
   FROM (
@@ -37,7 +37,7 @@ dag AS (
 """.strip()
 
 TRI_SQL = """
-tri AS (
+tri AS MATERIALIZED (
   SELECT e1.src AS u, e1.dst AS v, e2.dst AS w
   FROM dag e1
   JOIN dag e2 ON e1.dst = e2.src
@@ -515,3 +515,43 @@ ranked AS (
 SELECT query_id, neighbor_id, rank::INT AS rank, printf('%.6f', sim) AS sim_s
 FROM ranked WHERE rank <= {k}
 """.strip()
+
+
+def clique_sql(k: int) -> str:
+    """k-clique count over the DAG: all-pairs join conditions among
+    v1..vk (mirrors algorithms.patterns.clique_count)."""
+    joins = ["FROM dag d12"]
+    defs = {1: "d12.src", 2: "d12.dst"}
+    for i in range(3, k + 1):
+        conds = [f"d1{i}.src = {defs[1]}"]
+        defs[i] = f"d1{i}.dst"
+        joins.append(f"JOIN dag d1{i} ON {' AND '.join(conds)}")
+        for j in range(2, i):
+            joins.append(
+                f"JOIN dag d{j}{i} ON d{j}{i}.src = {defs[j]} "
+                f"AND d{j}{i}.dst = {defs[i]}"
+            )
+    body = " ".join(joins)
+    return graph_query(f"SELECT count(*) AS n_{k}cliques {body}")
+
+
+def labeled_tri_sql(la: int, lb: int, lc: int, n_classes: int = 7) -> str:
+    return graph_query(
+        f"SELECT count(*) AS n_matches FROM tri "
+        f"WHERE u % {n_classes} = {la} AND v % {n_classes} = {lb} "
+        f"AND w % {n_classes} = {lc}",
+        with_tri=True,
+    )
+
+
+def fsm_edge_support_sql(minsup: int, n_classes: int = 7) -> str:
+    return graph_query(
+        f"""
+        SELECT la, lb, support FROM (
+          SELECT (src % {n_classes})::INT AS la, (dst % {n_classes})::INT AS lb,
+                 least(count(DISTINCT src), count(DISTINCT dst)) AS support
+          FROM sym WHERE src % {n_classes} <= dst % {n_classes}
+          GROUP BY 1, 2
+        ) WHERE support >= {minsup}
+        """
+    )

@@ -1,0 +1,91 @@
+"""Generalized k-cliques, labeled matching, FSM edge support."""
+
+from __future__ import annotations
+
+import random
+from itertools import combinations
+
+from pyspark.sql import functions as F
+
+from graphminer_spark.algorithms.patterns import (
+    clique_count,
+    fsm_edge_support,
+    labeled_triangle_count,
+)
+from graphminer_spark.graph.build import build_dag, degrees, symmetrize
+from graphminer_spark.graph.labels import with_synthetic_labels
+from tests.conftest import edges_df
+
+TWO_CLIQUES = [
+    (a, b) for c in (0, 5) for a in range(c, c + 5) for b in range(a + 1, c + 5)
+]
+
+
+def _random_graph(n, m, seed):
+    rng = random.Random(seed)
+    return [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+
+
+def _brute_cliques(edges, k):
+    adj = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    count = 0
+    for sub in combinations(sorted(adj), k):
+        if all(y in adj[x] for x, y in combinations(sub, 2)):
+            count += 1
+    return count
+
+
+def test_clique_counts_vs_bruteforce(spark):
+    edges = _random_graph(40, 250, seed=8)
+    dag = build_dag(edges_df(spark, edges))
+    for k in (3, 4, 5):
+        got = clique_count(dag, k).collect()[0][0]
+        assert got == _brute_cliques(edges, k), f"k={k}"
+
+
+def test_clique_fixture(spark):
+    dag = build_dag(edges_df(spark, TWO_CLIQUES))
+    # two disjoint 5-cliques: C(5,k) each
+    assert clique_count(dag, 3).collect()[0][0] == 20
+    assert clique_count(dag, 4).collect()[0][0] == 10
+    assert clique_count(dag, 5).collect()[0][0] == 2
+
+
+def test_labeled_triangles(spark):
+    # triangle 0-1-2 labeled (0,1,2) under id % 3; triangle 3-4-5 same
+    edges = [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5), (2, 3)]
+    df = edges_df(spark, edges)
+    dag = build_dag(df)
+    verts = spark.range(6).select("id")
+    lv = with_synthetic_labels(verts, n_classes=3)
+    total = 0
+    from itertools import product
+
+    per_combo = {}
+    for labs in product(range(3), repeat=3):
+        n = labeled_triangle_count(dag, lv, labs).collect()[0][0]
+        per_combo[labs] = n
+        total += n
+    assert total == 2  # each triangle matched under exactly one ordered combo
+    assert sum(1 for v in per_combo.values() if v > 0) <= 2
+
+
+def test_fsm_edge_support(spark):
+    edges = [(0, 1), (0, 3), (2, 1), (2, 3), (4, 1)]
+    df = symmetrize(edges_df(spark, edges), dedup=False)
+    verts = spark.range(5).select("id")
+    lv = with_synthetic_labels(verts, n_classes=2)  # even=0, odd=1
+    rows = {
+        (r["la"], r["lb"]): r["support"]
+        for r in fsm_edge_support(df, lv, minsup=1).collect()
+    }
+    # all edges connect even(0)–odd(1): distinct evens {0,2,4}, odds {1,3}
+    assert rows == {(0, 1): 2}
+    assert (
+        fsm_edge_support(df, lv, minsup=3).count() == 0
+    )  # support 2 < 3 pruned
