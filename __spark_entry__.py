@@ -323,12 +323,33 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/events.parquet")
 
 
+def _epoch(col: str):
+    # parquet ts is TIMESTAMP_NTZ; session tz is UTC, so the round-trip
+    # via TIMESTAMP yields UTC epoch seconds — the canonical rendering
+    # both engines agree on bit-for-bit (same trick as _q_pagerank5's
+    # %.6f for floats)
+    return F.col(col).cast("timestamp").cast("long")
+
+
 def _q_ev_windows(spark, sf_dir):
-    return windowed_counts(_events(spark, sf_dir), minutes=60)
+    out = windowed_counts(_events(spark, sf_dir), minutes=60)
+    return out.select(
+        _epoch("window_start").alias("window_start_s"),
+        "event_type",
+        "n",
+        "total_value_c",
+    )
 
 
 def _q_ev_sessions(spark, sf_dir):
-    return sessionize(_events(spark, sf_dir), gap_minutes=30)
+    out = sessionize(_events(spark, sf_dir), gap_minutes=30)
+    return out.select(
+        "user_id",
+        "session_id",
+        "n_events",
+        _epoch("start_ts").alias("start_s"),
+        _epoch("end_ts").alias("end_s"),
+    )
 
 
 def _q_ev_top_users(spark, sf_dir):
@@ -468,9 +489,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "olap_status_pivot": """
             SELECT o_orderpriority,
-                   sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS "n_O",
-                   sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS "n_F",
-                   sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS "n_P"
+                   sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)::BIGINT AS "n_O",
+                   sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)::BIGINT AS "n_F",
+                   sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)::BIGINT AS "n_P"
             FROM orders GROUP BY o_orderpriority
         """,
         "ev_windowed_counts": EV_WINDOWED_SQL,

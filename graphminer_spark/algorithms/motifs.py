@@ -31,17 +31,23 @@ from graphminer_spark.algorithms.triangles import (
 from graphminer_spark.graph.build import degrees, symmetrize
 
 
-def _c2(col):  # C(n,2)
-    return col * (col - 1) / 2
+def _c2(col):
+    """C(n,2) exact on longs: n(n-1) is even, so a right-shift divides
+    exactly — no double arithmetic (exact past 2^53, safe to n ≈ 3e9)."""
+    return F.shiftright(col * (col - 1), 1)
 
 
-def _c3(col):  # C(n,3)
-    return col * (col - 1) * (col - 2) / 6
+def _c3(col):
+    """C(n,3) exact via decimal(38,0): the three-way product overflows
+    long at n ≈ 2.6e6 (real web-hub degrees), so multiply in decimal
+    and divide by 6 (always exact — the product is divisible by 6)."""
+    d = col.cast("decimal(38,0)")
+    return ((d * (col - 1) * (col - 2)) / 6).cast("decimal(38,0)")
 
 
 def wedge_count(deg: DataFrame) -> DataFrame:
     """Paths of length 2 (edge-induced) = Σ_v C(deg(v), 2)."""
-    return deg.select(_c2(F.col("deg")).cast("long").alias("w")).agg(
+    return deg.select(_c2(F.col("deg")).alias("w")).agg(
         F.sum("w").alias("n_wedges")
     )
 
@@ -66,17 +72,21 @@ def motif3_counts(canonical_edges: DataFrame, dag: DataFrame) -> DataFrame:
 
 
 def star3_count(deg: DataFrame) -> DataFrame:
-    """3-stars (claws, edge-induced) = Σ_v C(deg(v), 3)."""
-    return deg.agg(F.sum(_c3(F.col("deg")).cast("long")).alias("n_3stars"))
+    """3-stars (claws, edge-induced) = Σ_v C(deg(v), 3).
+
+    Per-vertex terms and the sum run in decimal(38,0) (golden counts
+    reach 2.4e18, ``src/count/README.md:51``); the output column is
+    cast to long for the test-scale contract."""
+    return deg.agg(
+        F.sum(_c3(F.col("deg"))).cast("long").alias("n_3stars")
+    )
 
 
 def diamond_count(canonical_edges: DataFrame, dag: DataFrame) -> DataFrame:
     """Diamonds (K4 minus an edge, edge-induced) = Σ_e C(tri(e), 2):
     pairs of triangles sharing edge e (e = the diamond's central edge)."""
     pe = per_edge_triangles(canonical_edges, dag, include_zero=False)
-    return pe.agg(
-        F.sum(_c2(F.col("tri_cnt")).cast("long")).alias("n_diamonds")
-    )
+    return pe.agg(F.sum(_c2(F.col("tri_cnt"))).alias("n_diamonds"))
 
 
 def tailed_triangle_count(
@@ -156,6 +166,7 @@ def rectangle_count(canonical_edges: DataFrame) -> DataFrame:
         .groupBy("a", "b")
         .agg(F.count("*").alias("c"))
     )
+    # Σ C(codeg,2) counts each 4-cycle at both diagonals → exactly even
     return codeg.agg(
-        (F.sum(_c2(F.col("c")).cast("long")) / 2).cast("long").alias("n_rectangles")
+        F.shiftright(F.sum(_c2(F.col("c"))), 1).alias("n_rectangles")
     )

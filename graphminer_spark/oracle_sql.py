@@ -393,9 +393,10 @@ FROM pairs WHERE sim >= {threshold}
 # ---------------------------------------------------------------- events
 
 EV_WINDOWED_SQL = """
-SELECT date_trunc('hour', ts) AS window_start, event_type,
+SELECT extract(epoch FROM date_trunc('hour', ts))::BIGINT AS window_start_s,
+       event_type,
        count(*) AS n,
-       sum(round(value * 100)::BIGINT) AS total_value_c
+       sum(round(value * 100)::BIGINT)::BIGINT AS total_value_c
 FROM events GROUP BY 1, 2
 """.strip()
 
@@ -403,9 +404,11 @@ FROM events GROUP BY 1, 2
 def sessionize_sql(gap_minutes: int) -> str:
     return f"""
 WITH lagged AS (
+  -- floor(), not ::BIGINT directly: DuckDB's double→BIGINT cast rounds
+  -- half-to-even while Spark's timestamp→long cast floors
   SELECT user_id, event_id, ts,
-         extract(epoch FROM ts)::BIGINT
-           - lag(extract(epoch FROM ts)::BIGINT)
+         floor(epoch(ts))::BIGINT
+           - lag(floor(epoch(ts))::BIGINT)
              OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
   FROM events
 ),
@@ -416,8 +419,9 @@ tagged AS (
                  ROWS UNBOUNDED PRECEDING) AS session_id
   FROM lagged
 )
-SELECT user_id, session_id, count(*) AS n_events,
-       min(ts) AS start_ts, max(ts) AS end_ts
+SELECT user_id, session_id::BIGINT AS session_id, count(*) AS n_events,
+       floor(epoch(min(ts)))::BIGINT AS start_s,
+       floor(epoch(max(ts)))::BIGINT AS end_s
 FROM tagged GROUP BY user_id, session_id
 """.strip()
 
@@ -425,7 +429,7 @@ FROM tagged GROUP BY user_id, session_id
 def top_users_sql(k: int) -> str:
     return f"""
 WITH agg AS (
-  SELECT user_id, sum(round(value * 100)::BIGINT) AS total_value_c
+  SELECT user_id, sum(round(value * 100)::BIGINT)::BIGINT AS total_value_c
   FROM events GROUP BY user_id
 ),
 ranked AS (
@@ -451,13 +455,13 @@ pe AS (
 ),
 ntri AS (SELECT count(*) AS t FROM tri),
 wst AS (
-  SELECT sum((deg * (deg - 1)) // 2) AS n_wedges,
-         sum((deg * (deg - 1) * (deg - 2)) // 6) AS n_3stars
+  SELECT sum((deg * (deg - 1)) // 2)::BIGINT AS n_wedges,
+         sum((deg * (deg - 1) * (deg - 2)) // 6)::BIGINT AS n_3stars
   FROM deg
 ),
-dia AS (SELECT coalesce(sum((tri_cnt * (tri_cnt - 1)) // 2), 0) AS n_diamonds FROM pe),
+dia AS (SELECT coalesce(sum((tri_cnt * (tri_cnt - 1)) // 2), 0)::BIGINT AS n_diamonds FROM pe),
 tt AS (
-  SELECT coalesce(sum(d.deg - 2), 0) AS n_tailed_triangles
+  SELECT coalesce(sum(d.deg - 2), 0)::BIGINT AS n_tailed_triangles
   FROM (
     SELECT u AS id FROM tri
     UNION ALL SELECT v FROM tri
@@ -465,7 +469,7 @@ tt AS (
   ) c JOIN deg d ON d.id = c.id
 ),
 p4 AS (
-  SELECT sum((du.deg - 1) * (dv.deg - 1)) - 3 * (SELECT t FROM ntri) AS n_4paths
+  SELECT (sum((du.deg - 1) * (dv.deg - 1)) - 3 * (SELECT t FROM ntri))::BIGINT AS n_4paths
   FROM edges e JOIN deg du ON du.id = e.src JOIN deg dv ON dv.id = e.dst
 ),
 codeg AS (
@@ -474,7 +478,7 @@ codeg AS (
   GROUP BY e1.src, e2.dst
 ),
 rect AS (
-  SELECT coalesce(sum((c * (c - 1)) // 2), 0) // 2 AS n_rectangles FROM codeg
+  SELECT (coalesce(sum((c * (c - 1)) // 2), 0) // 2)::BIGINT AS n_rectangles FROM codeg
 )
 SELECT wst.n_wedges, wst.n_3stars, ntri.t AS n_triangles, dia.n_diamonds,
        tt.n_tailed_triangles, p4.n_4paths, rect.n_rectangles

@@ -55,7 +55,7 @@ def main() -> int:
         duck_pd = con.execute(oracles[name]).fetchdf()
         a, b = canon(spark_pd), canon(duck_pd)
         ok_shape = list(a.columns) == list(b.columns) and len(a) == len(b)
-        ok_vals = False
+        ok_vals = ok_hash = False
         if ok_shape:
             try:
                 pd.testing.assert_frame_equal(
@@ -64,7 +64,15 @@ def main() -> int:
                 ok_vals = True
             except AssertionError as e:
                 print(f"--- {name} value diff: {str(e)[:500]}")
-        status = "OK" if (ok_shape and ok_vals) else "FAIL"
+            # strict hash-style check mirroring the driver: stringified
+            # cell values must agree exactly (int64 5 != float64 "5.0")
+            sa = a.astype(str).sort_values(by=list(a.columns), ignore_index=True)
+            sb = b.astype(str).sort_values(by=list(b.columns), ignore_index=True)
+            ok_hash = sa.equals(sb)
+            if ok_vals and not ok_hash:
+                diff = (sa != sb).any(axis=0)
+                print(f"--- {name} HASH-only diff in cols: {list(diff[diff].index)}")
+        status = "OK" if (ok_shape and ok_vals and ok_hash) else "FAIL"
         if status == "FAIL":
             failed.append(name)
             print(
