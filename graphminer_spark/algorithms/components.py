@@ -53,14 +53,19 @@ def _small_star(edges: DataFrame) -> DataFrame:
     return nbr_edges.unionByName(self_edges).distinct()
 
 
-def _edge_fingerprint(edges: DataFrame) -> tuple[int, int]:
-    """Order-insensitive content fingerprint (count, sum of row hashes)
-    — a shuffle-free convergence check usable at any scale."""
+def _edge_fingerprint(edges: DataFrame) -> tuple[int, int, int]:
+    """Order-insensitive content fingerprint: row count plus two
+    independent 64-bit xxhash64 sums, one per key order — a shuffle-free
+    convergence check. A false convergence needs simultaneous collision
+    of both 64-bit sums AND an unchanged row count (~2^-128 per
+    superstep), versus the single 32-bit murmur sum this replaces."""
+    dec = "decimal(38,0)"  # exact sums of full-range 64-bit hashes
     row = edges.agg(
         F.count("*").alias("n"),
-        F.coalesce(F.sum(F.hash("u", "v").cast("long")), F.lit(0)).alias("h"),
+        F.coalesce(F.sum(F.xxhash64("u", "v").cast(dec)), F.lit(0)).alias("h1"),
+        F.coalesce(F.sum(F.xxhash64("v", "u").cast(dec)), F.lit(0)).alias("h2"),
     ).collect()[0]
-    return int(row["n"]), int(row["h"])
+    return int(row["n"]), int(row["h1"]), int(row["h2"])
 
 
 def connected_components(

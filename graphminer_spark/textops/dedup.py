@@ -32,7 +32,13 @@ def with_shingles(docs: DataFrame, n: int = NGRAM) -> DataFrame:
     index ``sequence`` — no Python.
     """
     w = F.split(F.col("text"), " ")
-    idx = F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(0)))
+    # guard short docs: sequence(1, 0) would auto-step DESCENDING in
+    # Spark ([1,0]), and element_at(w, 0) throws under ANSI mode — a
+    # <n-token document must simply produce no shingles (matching the
+    # oracle's empty generate_series(1, 0))
+    idx = F.when(
+        F.size(w) >= n, F.sequence(F.lit(1), F.size(w) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
     shingle = F.transform(
         idx,
         lambda i: F.concat_ws(

@@ -32,6 +32,7 @@ sys.path.insert(0, _REPO)
 os.environ["PYTHONPATH"] = _REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
 
 from pyspark.sql import SparkSession  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
 
 from graphminer_spark.algorithms.components import connected_components  # noqa: E402
 from graphminer_spark.algorithms.labelprop import label_propagation  # noqa: E402
@@ -41,7 +42,7 @@ from graphminer_spark.algorithms.triangles import (  # noqa: E402
     triangle_count,
 )
 from graphminer_spark.checkpoint import CheckpointManager  # noqa: E402
-from graphminer_spark.graph.build import build_dag, degrees, symmetrize  # noqa: E402
+from graphminer_spark.graph.build import build_dag, symmetrize  # noqa: E402
 from graphminer_spark.sources.extract import (  # noqa: E402
     audit_id_collisions,
     build_link_graph,
@@ -79,18 +80,34 @@ def main(argv: list[str] | None = None) -> int:
     collisions = audit_id_collisions(vertices)
     if collisions:
         raise RuntimeError(f"xxhash64 id collisions: {collisions}")
-    sym = symmetrize(edges, dedup=False).persist()
-    verts = degrees(sym).select("id").persist()
+    # full corpus vertex set (crawled pages with no kept links included):
+    # PR dangling mass, CC singleton components and LP self-labels must
+    # cover every page, not just pages that happen to touch an edge
+    verts = vertices.select("id").persist()
+    # directed link edges → canonical undirected (src < dst, dedup):
+    # xxhash64 ids put ~half the rows src > dst, and reciprocal links
+    # (A→B and B→A) must collapse to one undirected edge before the
+    # degree-ordered DAG / per-edge TC join
+    canon = (
+        edges.select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+        )
+        .distinct()
+        .persist()
+    )
+    sym = symmetrize(canon, dedup=False).persist()
     metrics["n_vertices"] = verts.count()
     metrics["n_edges"] = edges.count()
+    metrics["n_undirected_edges"] = canon.count()
 
     edges.write.mode("overwrite").parquet(f"{args.out}/edges")
     vertices.write.mode("overwrite").parquet(f"{args.out}/vertices")
 
     if "tc" in algos:
-        dag = build_dag(edges)
+        dag = build_dag(canon)
         metrics["n_triangles"] = triangle_count(dag).collect()[0][0]
-        per_edge_triangles(edges, dag).write.mode("overwrite").parquet(
+        per_edge_triangles(canon, dag).write.mode("overwrite").parquet(
             f"{args.out}/tc_per_edge"
         )
     if "pagerank" in algos:

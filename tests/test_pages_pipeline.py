@@ -87,3 +87,33 @@ def test_hub_skew_produces_hubs(spark):
     indeg = edges.groupBy("dst").count()
     mx, avg = indeg.agg(F.max("count"), F.avg("count")).collect()[0]
     assert mx > 8 * avg  # skewed enough to exercise the hub path
+
+
+def test_tc_requires_canonical_edges(spark):
+    """Regression: the directed link graph (xxhash ids, reciprocal links)
+    must be canonicalized to src<dst before DAG/per-edge TC — feeding the
+    raw directed list undercounts per-edge joins and inflates triangles."""
+    from graphminer_spark.algorithms.triangles import (
+        per_edge_triangles,
+        triangle_count,
+    )
+    from graphminer_spark.graph.build import build_dag
+
+    # directed edges incl. reciprocals and src>dst, forming one triangle
+    directed = spark.createDataFrame(
+        [(10, 3), (3, 10), (3, 7), (10, 7), (7, 10), (99, 3)],
+        "src long, dst long",
+    )
+    canon = (
+        directed.select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+        ).distinct()
+    )
+    dag = build_dag(canon)
+    assert triangle_count(dag).collect()[0][0] == 1
+    pe = {
+        (r["src"], r["dst"]): r["tri_cnt"]
+        for r in per_edge_triangles(canon, dag).collect()
+    }
+    assert pe == {(3, 10): 1, (3, 7): 1, (7, 10): 1, (3, 99): 0}

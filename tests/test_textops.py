@@ -160,3 +160,30 @@ def test_knn_vs_numpy(spark):
         )[:3]
         expect = [(-negj) for _, negj in order]
         assert [n for _, n in sorted(got[qi])] == expect, qi
+
+
+def test_shingles_short_docs_no_crash(spark):
+    """Docs with < n tokens must yield zero shingles, not an ANSI
+    INVALID_ARRAY_INDEX crash from a descending sequence(1, 0)."""
+    docs = spark.createDataFrame(
+        [
+            (0, ""),
+            (1, "one"),
+            (2, "one two"),
+            (3, "one two three"),
+            (4, "one two three four"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["shingle"]) for r in with_shingles(docs).collect()
+    }
+    assert got == {
+        (3, "one two three"),
+        (4, "one two three"),
+        (4, "two three four"),
+    }
+    # every shingle consumer must survive a short-doc corpus
+    assert exact_dedup(docs).count() == 5
+    assert jaccard_pairs(docs, threshold=0.1).count() == 1  # docs 3,4
+    assert minhash_lsh_dedup(docs, threshold=0.1).count() <= 1
