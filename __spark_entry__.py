@@ -27,7 +27,7 @@ from graphminer_spark.graph.build import (
     degrees,
     symmetrize,
 )
-from graphminer_spark.graph.tpch_edges import tpch_edges
+from graphminer_spark.graph.tpch_edges import SPARSE_DIVISOR, tpch_edges
 from graphminer_spark.olap import (
     order_status_pivot,
     revenue_rollup,
@@ -72,7 +72,7 @@ from graphminer_spark.oracle_sql import (
     sessionize_sql,
     top_users_sql,
 )
-from graphminer_spark.oracle_sql import lsh_ann_sql
+from graphminer_spark.oracle_sql import kcore_sql, lsh_ann_sql
 from graphminer_spark.similarity import (
     embedding_neardup,
     knn_bruteforce,
@@ -184,12 +184,15 @@ def _q_nlf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # adaptive k = 2/3 of mean degree: deep enough that peeling removes
-    # vertices, shallow enough that the core is non-empty at every sf;
-    # rows-only check (iterative fixpoint — not one SQL statement)
-    edges, sym, verts = _graph_vertices(spark, sf_dir)
+    # the SPARSE graph (mean degree ~11, real spread) so adaptive
+    # k = 2/3 of mean degree peels a genuine tail over several rounds
+    # — the dense divisor-60 graph is near-regular and peeling is
+    # all-or-nothing there. Oracle = kcore_sql's unrolled peeling
+    # (same adaptive k in SQL).
+    edges = tpch_edges(spark, sf_dir, divisor=SPARSE_DIVISOR)
+    sym = symmetrize(edges, dedup=False)
     m = sym.count()
-    n = verts.count()
+    n = degrees(sym).count()
     k = max(2, (m // n) * 2 // 3)
     return kcore(sym, k=k)
 
@@ -447,7 +450,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT src AS id, (dst % 7)::INT AS vlabel, count(*) AS n "
             "FROM sym GROUP BY 1, 2"
         ),
-        # graph_kcore: iterative fixpoint — rows-only check by design
+        "graph_kcore": kcore_sql(30, divisor=SPARSE_DIVISOR),
         "cc_components": CC_SQL,
         "cc_sizes": (
             f"WITH _cc AS ({CC_SQL}) "

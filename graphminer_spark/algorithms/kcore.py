@@ -29,6 +29,7 @@ def kcore(
     ckpt = checkpointer or CheckpointManager(None)
     edges = sym_edges.select("src", "dst")
     edges = ckpt.save(edges, 0, {"algo": f"kcore{k}"})
+    old_n = edges.count()  # one action per round: carry the old count
     for it in range(1, max_iter + 1):
         deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
         keep = deg.filter(F.col("deg") >= k).select("src")
@@ -37,10 +38,11 @@ def kcore(
             .join(keep.select(F.col("src").alias("dst")), "dst", "left_semi")
         )
         new_edges = ckpt.save(new_edges, it, {"algo": f"kcore{k}"})
-        old_n, new_n = edges.count(), new_edges.count()
+        new_n = new_edges.count()
         edges = new_edges
         if new_n == old_n:
             break
+        old_n = new_n
     return edges.select(F.col("src").alias("id")).distinct()
 
 

@@ -24,13 +24,19 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 VERTEX_DIVISOR = 60
+# sparse variant: ~10x more vertices → mean degree ~11 instead of ~113.
+# Used by the 5-vertex pattern queries (enumeration cost scales with
+# deg^4) and k-core (a degree spread that actually peels).
+SPARSE_DIVISOR = 6
 MIN_VERTICES = 100
 
-# SQL fragment (ANSI, runs in DuckDB and Spark alike) producing the
-# canonical undirected edge list (src BIGINT, dst BIGINT, src < dst).
-EDGES_SQL = f"""
+
+def edges_sql(divisor: int = VERTEX_DIVISOR) -> str:
+    """SQL fragment (ANSI, runs in DuckDB and Spark alike) producing the
+    canonical undirected edge list (src BIGINT, dst BIGINT, src < dst)."""
+    return f"""
 WITH _v AS (
-  SELECT greatest({MIN_VERTICES}, count(*) // {VERTEX_DIVISOR}) AS nv FROM lineitem
+  SELECT greatest({MIN_VERTICES}, count(*) // {divisor}) AS nv FROM lineitem
 ),
 _raw AS MATERIALIZED (
   SELECT l_orderkey % nv AS a,
@@ -44,7 +50,12 @@ edges AS MATERIALIZED (
 """.strip()
 
 
-def tpch_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+EDGES_SQL = edges_sql()
+
+
+def tpch_edges(
+    spark: SparkSession, sf_dir: str, divisor: int = VERTEX_DIVISOR
+) -> DataFrame:
     """Canonical undirected edge list from ``{sf_dir}/lineitem.parquet``.
 
     Uses integer-only expressions; ``//`` (integer division) matches
@@ -54,7 +65,7 @@ def tpch_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"
     )
     n = li.count()  # single scalar aggregate; drives the id-space size
-    nv = max(MIN_VERTICES, n // VERTEX_DIVISOR)
+    nv = max(MIN_VERTICES, n // divisor)
     a = F.col("l_orderkey") % F.lit(nv)
     b = (
         F.col("l_partkey")

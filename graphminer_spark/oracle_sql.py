@@ -11,7 +11,7 @@ hash. All graph oracles build the edge table with the shared
 
 from __future__ import annotations
 
-from graphminer_spark.graph.tpch_edges import EDGES_SQL
+from graphminer_spark.graph.tpch_edges import EDGES_SQL, edges_sql
 
 # symmetric (both directions) view on top of the canonical edges CTE
 SYM_SQL = (
@@ -45,13 +45,21 @@ tri AS MATERIALIZED (
 )
 """.strip()
 
-# CTE list WITHOUT the leading WITH keyword, so composers can choose
-# WITH vs WITH RECURSIVE
-GRAPH_CTES = f"{EDGES_SQL.removeprefix('WITH ')}, {SYM_SQL}, {DEG_SQL}, {DAG_SQL}"
+def graph_ctes(divisor: int = 60) -> str:
+    """CTE list WITHOUT the leading WITH keyword, so composers can
+    choose WITH vs WITH RECURSIVE. ``divisor`` selects the graph
+    density (see ``tpch_edges``)."""
+    return (
+        f"{edges_sql(divisor).removeprefix('WITH ')}, "
+        f"{SYM_SQL}, {DEG_SQL}, {DAG_SQL}"
+    )
 
 
-def graph_query(body: str, with_tri: bool = False) -> str:
-    ctes = GRAPH_CTES + (", " + TRI_SQL if with_tri else "")
+GRAPH_CTES = graph_ctes()
+
+
+def graph_query(body: str, with_tri: bool = False, divisor: int = 60) -> str:
+    ctes = graph_ctes(divisor) + (", " + TRI_SQL if with_tri else "")
     return f"WITH {ctes} {body}"
 
 
@@ -69,6 +77,39 @@ reach(v, r) AS (
 )
 SELECT v AS id, min(r) AS component FROM reach GROUP BY v
 """.strip()
+
+
+def kcore_sql(rounds: int = 30, divisor: int = 60) -> str:
+    """k-core vertex set by unrolled peeling (exact oracle for
+    ``algorithms.kcore.kcore``). Peeling is a monotone fixpoint: once
+    stable, further rounds are identity, so a generous fixed unroll is
+    exact as long as it covers the true round count (asserted against
+    the Spark loop's iteration count in pytest). k replicates
+    ``_q_kcore``'s adaptive choice: max(2, (m // n) * 2 // 3)."""
+    parts = [
+        graph_ctes(divisor),
+        "kk AS (SELECT greatest(2, ((SELECT count(*) FROM sym) "
+        "// (SELECT count(*) FROM deg)) * 2 // 3) AS k)",
+    ]
+    prev = "sym"
+    for i in range(1, rounds + 1):
+        # MATERIALIZED: each round references the previous edge set
+        # twice — inlined CTEs would re-evaluate the chain exponentially
+        parts.append(
+            f"d{i} AS (SELECT src AS id, count(*) AS deg FROM {prev} GROUP BY src)"
+        )
+        parts.append(
+            f"v{i} AS (SELECT id FROM d{i}, kk WHERE deg >= kk.k)"
+        )
+        parts.append(
+            f"e{i} AS MATERIALIZED (SELECT s.src, s.dst FROM {prev} s "
+            f"JOIN v{i} a ON a.id = s.src JOIN v{i} b ON b.id = s.dst)"
+        )
+        prev = f"e{i}"
+    return (
+        f"WITH {', '.join(parts)} "
+        f"SELECT DISTINCT src AS id FROM {prev}"
+    )
 
 
 def _lp_step(prev: str, step: str) -> str:

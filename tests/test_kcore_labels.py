@@ -56,3 +56,30 @@ def test_label_ops(spark):
     assert got[(0, 0)] == 1 and got[(0, 1)] == 1
     idx = {r["vlabel"]: r["ids"] for r in reverse_label_index(lv).collect()}
     assert idx == {0: [0, 2], 1: [1, 3]}
+
+
+def test_kcore_sparse_graph_rounds_within_oracle_unroll(spark):
+    """The driver oracle (kcore_sql) unrolls 30 peeling rounds; the
+    Spark fixpoint on the sparse sf0.001 graph must converge well
+    inside that bound, and with adaptive k the peel must be non-trivial
+    (some vertices removed, some kept)."""
+    from graphminer_spark.checkpoint import CheckpointManager
+    from graphminer_spark.graph.build import degrees
+    from graphminer_spark.graph.tpch_edges import SPARSE_DIVISOR, tpch_edges
+
+    edges = tpch_edges(spark, "/root/testdata/sf0.001", divisor=SPARSE_DIVISOR)
+    sym = symmetrize(edges, dedup=False).persist()
+    m, n = sym.count(), degrees(sym).count()
+    k = max(2, (m // n) * 2 // 3)
+
+    class CountingCkpt(CheckpointManager):
+        rounds = 0
+
+        def save(self, df, it, meta=None):
+            CountingCkpt.rounds = max(CountingCkpt.rounds, it)
+            return super().save(df, it, meta)
+
+    core = kcore(sym, k=k, checkpointer=CountingCkpt(None))
+    n_core = core.count()
+    assert 0 < n_core < n
+    assert CountingCkpt.rounds <= 30
