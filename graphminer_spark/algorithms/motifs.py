@@ -28,7 +28,7 @@ from graphminer_spark.algorithms.triangles import (
     per_edge_triangles,
     triangle_count,
 )
-from graphminer_spark.graph.build import degrees, symmetrize
+from graphminer_spark.graph.build import build_dag, degrees, symmetrize
 
 
 def _c2(col):
@@ -135,7 +135,7 @@ def pattern_counts(canonical_edges: DataFrame, dag: DataFrame) -> DataFrame:
         .crossJoin(diamond_count(canonical_edges, dag))
         .crossJoin(tailed_triangle_count(canonical_edges, dag))
         .crossJoin(path4_count(canonical_edges, dag))
-        .crossJoin(rectangle_count(canonical_edges))
+        .crossJoin(rectangle_count(canonical_edges, dag))
     )
     return out.select(
         "n_wedges",
@@ -148,25 +148,41 @@ def pattern_counts(canonical_edges: DataFrame, dag: DataFrame) -> DataFrame:
     )
 
 
-def rectangle_count(canonical_edges: DataFrame) -> DataFrame:
-    """4-cycles C4 (edge-induced) = ½ Σ_{u<w} C(codeg(u,w), 2).
+def rectangle_count(
+    canonical_edges: DataFrame, dag: DataFrame | None = None
+) -> DataFrame:
+    """4-cycles C4 via rank-bounded wedges (Chiba–Nishizeki style).
 
-    codeg via the wedge join grouped by endpoints — the one pattern
-    that genuinely needs the quadratic-ish join (same shape as the
-    reference's rectangle kernel, ``src/sgl/cpu_kernels/rectangle.h``).
-    Wedges come off the degree-ordered DAG-of-midpoints to halve the
-    join, then endpoint pairs are canonicalized.
+    Every 4-cycle a–m1–b–m2 is counted exactly once at the diagonal
+    pair {x, y} containing the cycle's (deg,id)-maximum vertex x:
+    ``C4 = Σ_{pairs (x,y)} C(c_xy, 2)`` where ``c_xy`` counts common
+    neighbors m with rank(m) < rank(x) and rank(y) < rank(x).
+
+    The wedge stream is ``dag(m→x) ⋈ sym(m→y)``: the DAG side bounds a
+    midpoint's fan-out by its *out*-degree (O(√m) after degree
+    ordering), so a 10^6-degree hub as midpoint contributes
+    outdeg·deg ≪ deg² rows — total work O(m^1.5) instead of the
+    Σ deg(mid)² of the naive sym⋈sym join (the reference's analogous
+    degree-threshold switch: ``src/matrix/triangle/omp_mm.cpp:137-155``).
+    Same result as the rectangle kernel ``src/sgl/cpu_kernels/
+    rectangle.h`` (citeseer golden 6,059, pinned in pytest).
     """
     sym = symmetrize(canonical_edges, dedup=False)
-    e1 = sym.select(F.col("dst").alias("mid"), F.col("src").alias("a"))
-    e2 = sym.select(F.col("src").alias("mid"), F.col("dst").alias("b"))
-    codeg = (
-        e1.join(e2, "mid")
-        .filter(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.count("*").alias("c"))
+    deg = degrees(sym)
+    if dag is None:
+        dag = build_dag(canonical_edges, deg)
+    # rank(v) = (deg(v), v) lexicographic — the DAG's total order
+    dag_x = (
+        dag.select(F.col("src").alias("mid"), F.col("dst").alias("x"))
+        .join(deg.select(F.col("id").alias("x"), F.col("deg").alias("dx")), "x")
     )
-    # Σ C(codeg,2) counts each 4-cycle at both diagonals → exactly even
-    return codeg.agg(
-        F.shiftright(F.sum(_c2(F.col("c"))), 1).alias("n_rectangles")
+    sym_y = (
+        sym.select(F.col("src").alias("mid"), F.col("dst").alias("y"))
+        .join(deg.select(F.col("id").alias("y"), F.col("deg").alias("dy")), "y")
     )
+    wedges = dag_x.join(sym_y, "mid").filter(
+        (F.col("dy") < F.col("dx"))
+        | ((F.col("dy") == F.col("dx")) & (F.col("y") < F.col("x")))
+    )
+    codeg = wedges.groupBy("x", "y").agg(F.count("*").alias("c"))
+    return codeg.agg(F.sum(_c2(F.col("c"))).alias("n_rectangles"))

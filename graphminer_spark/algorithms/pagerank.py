@@ -204,7 +204,10 @@ def pagerank_csr(
         nbr_arrays = pdf["nbrs"].to_numpy()
         lens = np.fromiter((len(a) for a in nbr_arrays), dtype=np.int64, count=len(nbr_arrays))
         flat = np.concatenate([np.asarray(a, dtype=np.int64) for a in nbr_arrays])
-        share = (pdf["rank"].to_numpy() / lens).repeat(lens)
+        # divide by the TRUE degree (out_deg), not the row's array
+        # length: hub adjacencies arrive sharded across rows/blocks and
+        # the per-dst partials re-aggregate downstream
+        share = (pdf["rank"].to_numpy() / pdf["out_deg"].to_numpy()).repeat(lens)
         ids, inv = np.unique(flat, return_inverse=True)
         sums = np.zeros(len(ids), dtype=np.float64)
         np.add.at(sums, inv, share)
@@ -223,7 +226,7 @@ def pagerank_csr(
             .collect()[0][0]
         )
         joined = csr.join(ranks, csr["src"] == ranks["id"]).select(
-            "block", "nbrs", "rank"
+            "block", "nbrs", "out_deg", "rank"
         )
         partials = joined.groupBy("block").applyInPandas(
             scatter, schema="id long, contrib double"

@@ -101,19 +101,23 @@ def triangle_count_csr(dag: DataFrame, num_blocks: int = 32) -> DataFrame:
     blocks = csr_blocks(dag, num_blocks=num_blocks)
     # adjacency of the DAG fits the driver comfortably for graphs whose
     # vertex count fits one machine (out-deg ≤ O(sqrt m)); at true
-    # 100 TB scale the closing side would be a shuffled CSR partition
-    adj = {
-        r["src"]: np.asarray(r["nbrs"], dtype=np.int64)
-        for r in blocks.collect()
-    }
+    # 100 TB scale the closing side would be a shuffled CSR partition.
+    # Hub adjacencies may arrive as multiple shard rows — merge them.
+    adj: dict[int, "np.ndarray"] = {}
+    for r in blocks.collect():
+        a = np.asarray(r["nbrs"], dtype=np.int64)
+        prev = adj.get(r["src"])
+        adj[r["src"]] = a if prev is None else np.sort(np.concatenate([prev, a]))
     badj = spark.sparkContext.broadcast(adj)
 
     def count_block(pdf: pd.DataFrame) -> pd.DataFrame:
         a = badj.value
         total = 0
         for src, nbrs in zip(pdf["src"], pdf["nbrs"]):
-            n_u = np.asarray(nbrs, dtype=np.int64)
-            for v in n_u:
+            # the row's nbrs may be one shard of src's adjacency; the
+            # intersection side must always use the FULL N+(src)
+            n_u = a[int(src)]
+            for v in np.asarray(nbrs, dtype=np.int64):
                 n_v = a.get(int(v))
                 if n_v is not None:
                     total += len(np.intersect1d(n_u, n_v, assume_unique=True))

@@ -57,17 +57,19 @@ def build_dag(canonical_edges: DataFrame, deg: DataFrame | None = None) -> DataF
     ``(deg(v), v) > (deg(u), u)`` — the total order used by the
     reference's ``Graph::orientation`` (``src/common/graph.cc:245-247``).
 
-    Physical plan: two broadcast hash joins against the (small) degree
-    table — the edge table is never shuffled.
+    Physical plan: two joins against the degree table, with the
+    broadcast decision left to Catalyst/AQE — the degree table is one
+    row per vertex, so at 10^9 vertices a *forced* broadcast would kill
+    the driver; below the autoBroadcastJoinThreshold AQE converts both
+    joins to broadcast hash joins at runtime (asserted in
+    ``tests/test_skew_and_plans.py``), above it they fall back to
+    shuffle joins on the same key.
     """
     if deg is None:
         deg = degrees(symmetrize(canonical_edges, dedup=False))
     deg_u = deg.select(F.col("id").alias("src"), F.col("deg").alias("deg_src"))
     deg_v = deg.select(F.col("id").alias("dst"), F.col("deg").alias("deg_dst"))
-    e = (
-        canonical_edges.join(F.broadcast(deg_u), "src")
-        .join(F.broadcast(deg_v), "dst")
-    )
+    e = canonical_edges.join(deg_u, "src").join(deg_v, "dst")
     keep_forward = (F.col("deg_dst") > F.col("deg_src")) | (
         (F.col("deg_dst") == F.col("deg_src")) & (F.col("dst") > F.col("src"))
     )
@@ -77,21 +79,42 @@ def build_dag(canonical_edges: DataFrame, deg: DataFrame | None = None) -> DataF
     )
 
 
-def csr_blocks(sym_edges: DataFrame, num_blocks: int = 32) -> DataFrame:
-    """Per-partition CSR blocks: ``(block, src, nbrs sorted array)``.
+def csr_blocks(
+    sym_edges: DataFrame,
+    num_blocks: int = 32,
+    max_nbrs: int = 1 << 15,
+) -> DataFrame:
+    """Per-partition CSR blocks: ``(block, src, out_deg, nbrs)``.
 
     The distributed analogue of the reference's CSR segmenting
     (``src/common/graph_partition.cc:138-226``): vertices are hash-
-    assigned to blocks; each row carries one vertex's sorted adjacency
-    run, consumable by Arrow pandas UDFs as numpy (offsets, indices)
-    pairs. Sorted order mirrors ``Graph::sort_neighbors``
-    (``graph.cc:138-146``).
+    assigned to blocks; each row carries one (shard of a) vertex's
+    sorted adjacency run, consumable by Arrow pandas UDFs as numpy
+    (offsets, indices) pairs. Sorted order mirrors
+    ``Graph::sort_neighbors`` (``graph.cc:138-146``).
+
+    Hub handling (the matrix kernel's H/L-split precedent,
+    ``src/matrix/triangle/omp_mm.cpp:137-155``): a web-scale hub with
+    deg ~10^6 must NOT materialize one multi-GB array row, so each
+    vertex's adjacency is sharded into ``ceil(deg / max_nbrs)`` rows
+    keyed by ``hash(dst)`` — expected shard size ≈ ``max_nbrs``,
+    tail vertices stay single-row. ``out_deg`` carries the TRUE full
+    degree so consumers (``pagerank_csr``) divide by it, and per-dst
+    partial sums re-aggregate across shards downstream.
     """
+    assert max_nbrs & (max_nbrs - 1) == 0, "max_nbrs must be a power of 2"
+    shift = max_nbrs.bit_length() - 1
+    deg = sym_edges.groupBy("src").agg(F.count("*").alias("out_deg"))
+    # ceil(out_deg / max_nbrs) via shift — exact integer arithmetic
+    nshards = F.shiftright(F.col("out_deg") - 1, shift) + 1
+    e = sym_edges.join(deg, "src").withColumn(
+        "shard", F.pmod(F.hash("dst"), nshards)
+    )
     return (
-        sym_edges.groupBy("src")
+        e.groupBy("src", "out_deg", "shard")
         .agg(F.sort_array(F.collect_list("dst")).alias("nbrs"))
-        .withColumn("block", F.pmod(F.hash("src"), F.lit(num_blocks)))
-        .select("block", "src", "nbrs")
+        .withColumn("block", F.pmod(F.hash("src", "shard"), F.lit(num_blocks)))
+        .select("block", "src", "out_deg", "nbrs")
     )
 
 

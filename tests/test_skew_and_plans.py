@@ -76,7 +76,13 @@ def test_filter_pushdown_reaches_scan(spark):
 
 
 def test_dag_build_broadcasts_degrees(spark):
-    plan = _plan(build_dag(tpch_edges(spark, SF)))
+    # the broadcast is AQE's runtime decision (a forced broadcast of
+    # the per-vertex degree table would kill the driver at 10^9
+    # vertices) — so materialize first, then check the FINAL plan
+    df = build_dag(tpch_edges(spark, SF))
+    df.collect()
+    plan = _plan(df)
+    assert "isFinalPlan=true" in plan
     assert plan.count("BroadcastHashJoin") >= 2
     assert "BatchEvalPython" not in plan  # no per-row python anywhere
 
@@ -91,3 +97,73 @@ def test_tc_plan_no_python_and_codegen(spark):
     assert "BatchEvalPython" not in plan
     # codegen stages render as "*(n) Operator" in the final plan
     assert "*(" in plan
+
+
+def test_csr_blocks_shard_hub_adjacency(spark):
+    """A hub's adjacency must arrive as multiple bounded shard rows,
+    and pagerank_csr over the sharded CSR must equal the join-based
+    pagerank (partial contributions re-aggregate across shards)."""
+    import numpy as np
+
+    from graphminer_spark.algorithms.pagerank import pagerank, pagerank_csr
+    from graphminer_spark.graph.build import csr_blocks
+
+    # star hub (deg 600) + a sparse ring so the tail is non-trivial
+    edges = [(0, i) for i in range(1, 601)]
+    edges += [(i, i + 1) for i in range(1, 600, 3)]
+    from tests.conftest import edges_df
+
+    canon = edges_df(spark, edges)
+    sym = symmetrize(canon, dedup=False)
+    blocks = csr_blocks(sym, num_blocks=8, max_nbrs=128).persist()
+    rows = blocks.collect()
+    sizes = [(r["src"], len(r["nbrs"]), r["out_deg"]) for r in rows]
+    hub_rows = [s for s in sizes if s[0] == 0]
+    assert len(hub_rows) >= 4  # 600/128 → ≥5 shards expected
+    assert all(ln <= 3 * 128 for _, ln, _ in sizes)  # bounded rows
+    assert all(od == 600 for _, _, od in hub_rows)  # true degree kept
+    # shards reassemble the exact adjacency
+    got = np.sort(np.concatenate([np.asarray(r["nbrs"]) for r in rows if r["src"] == 0]))
+    assert got.tolist() == list(range(1, 601))
+
+    verts = sym.select(F.col("src").alias("id")).distinct()
+    res_csr = pagerank_csr(blocks, verts, tol=0.0, max_iter=5)
+    res_join = pagerank(canon.unionByName(
+        canon.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ), verts, tol=0.0, max_iter=5)
+    a = {r["id"]: r["rank"] for r in res_csr.ranks.collect()}
+    b = {r["id"]: r["rank"] for r in res_join.ranks.collect()}
+    assert set(a) == set(b)
+    assert all(abs(a[k] - b[k]) < 1e-12 for k in a)
+
+
+def test_rectangle_count_hub_graph(spark):
+    """Rank-bounded wedge C4 count vs brute force on a hub-heavy graph
+    (the naive sym x sym wedge join is what this plan replaces)."""
+    import itertools
+    import random
+
+    from graphminer_spark.algorithms.motifs import rectangle_count
+    from tests.conftest import edges_df
+
+    rng = random.Random(7)
+    n = 40
+    edges = {(0, i) for i in range(1, n)}  # hub 0
+    for _ in range(120):
+        a, b = rng.randrange(1, n), rng.randrange(1, n)
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    adj = {i: set() for i in range(n)}
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    brute = 0
+    for quad in itertools.combinations(range(n), 4):
+        for perm in itertools.permutations(quad):
+            if perm[0] == min(perm) and perm[1] < perm[3]:
+                if all(
+                    perm[i + 1] in adj[perm[i]] for i in range(3)
+                ) and perm[0] in adj[perm[3]]:
+                    brute += 1
+    got = rectangle_count(edges_df(spark, edges)).collect()[0]["n_rectangles"]
+    assert got == brute
