@@ -72,6 +72,15 @@ from graphminer_spark.oracle_sql import (
     sessionize_sql,
     top_users_sql,
 )
+from graphminer_spark.algorithms.subgraph import (
+    SGL_PATTERNS,
+    PatternSpec,
+    count_matches,
+    gks_count,
+    gks_sql,
+    parse_pattern,
+    pattern_count_sql_body,
+)
 from graphminer_spark.oracle_sql import kcore_sql, lsh_ann_sql
 from graphminer_spark.similarity import (
     embedding_neardup,
@@ -235,6 +244,68 @@ def _q_pagerank5_csr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------- SgL named patterns
+#
+# Each named pattern runs on the graph density its join plan is sized
+# for: triangle/codegree-anchored patterns are cheap on the dense
+# divisor-60 graph (heavy constraints prune early); wedge-square
+# hybrids run on the sparse divisor-6 graph; long paths on the extra-
+# sparse divisor-2 graph (path enumeration scales with deg^(k-1)).
+SGL_GRAPH = {  # name -> (divisor, scramble)
+    "house": (6, False),
+    "pentagon": (6, True),
+    "dumbbell": (6, True),
+    "5path": (1, True),
+    "6path": (1, True),
+    "hourglass": (15, False),
+    "semihouse": (15, False),
+    "closedhouse": (30, False),
+    "taileddiamond": (15, False),
+    "taileddiamond2": (15, False),
+}
+
+
+def _mk_sgl_query(name: str):
+    div, scr = SGL_GRAPH[name]
+
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        edges = tpch_edges(spark, sf_dir, divisor=div, scramble=scr)
+        return count_matches(
+            symmetrize(edges, dedup=False), SGL_PATTERNS[name]
+        )
+
+    return q
+
+
+# Arbitrary labeled patterns through the Query pipeline surface
+# (pattern parser + candidate label filters + greedy matching order):
+# a labeled diamond and a labeled 4-path in the reference's pattern
+# file format (src/common/pattern.cc:80-116). Labels break the
+# automorphisms, so counting uses the label-aware ordered/|Aut| path.
+LABELED_DIAMOND = PatternSpec(
+    "labeled_diamond",
+    4,
+    ((0, 1), (0, 2), (0, 3), (1, 2), (1, 3)),
+    vlabels=(0, 1, 2, 3),
+)
+LABELED_4PATH = parse_pattern("0 4 1 5\n1 5 2 6\n2 6 3 4", name="labeled_4path")
+
+
+def _q_labeled_diamond(spark, sf_dir):
+    edges, sym, verts = _graph_vertices(spark, sf_dir)
+    return count_matches(sym, LABELED_DIAMOND, with_synthetic_labels(verts))
+
+
+def _q_labeled_4path(spark, sf_dir):
+    edges, sym, verts = _graph_vertices(spark, sf_dir)
+    return count_matches(sym, LABELED_4PATH, with_synthetic_labels(verts))
+
+
+def _q_gks(spark, sf_dir):
+    edges, sym, verts = _graph_vertices(spark, sf_dir)
+    return gks_count(sym, with_synthetic_labels(verts), (1, 2, 3))
+
+
 def _q_rollup(spark, sf_dir):
     return revenue_rollup(spark.read.parquet(f"{sf_dir}/lineitem.parquet"))
 
@@ -391,6 +462,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "labeled_tri_count": _q_labeled_tri,
         "fsm_edge_support": _q_fsm_edges,
         "pattern_counts": _q_patterns,
+        **{f"sgl_{n}": _mk_sgl_query(n) for n in sorted(SGL_GRAPH)},
+        "query_labeled_diamond": _q_labeled_diamond,
+        "query_labeled_4path": _q_labeled_4path,
+        "gks_3keywords": _q_gks,
         "graph_label_freq": _q_label_freq,
         "graph_nlf": _q_nlf,
         "graph_kcore": _q_kcore,
@@ -443,6 +518,19 @@ def oracle_sql() -> dict[str, str]:
         "labeled_tri_count": labeled_tri_sql(0, 1, 2),
         "fsm_edge_support": fsm_edge_support_sql(130),
         "pattern_counts": PATTERN_COUNTS_SQL,
+        **{
+            f"sgl_{n}": graph_query(
+                pattern_count_sql_body(SGL_PATTERNS[n]), divisor=d, scramble=s
+            )
+            for n, (d, s) in SGL_GRAPH.items()
+        },
+        "query_labeled_diamond": graph_query(
+            pattern_count_sql_body(LABELED_DIAMOND)
+        ),
+        "query_labeled_4path": graph_query(
+            pattern_count_sql_body(LABELED_4PATH)
+        ),
+        "gks_3keywords": graph_query(gks_sql((1, 2, 3))),
         "graph_label_freq": graph_query(
             "SELECT (id % 7)::INT AS vlabel, count(*) AS n FROM deg GROUP BY 1"
         ),

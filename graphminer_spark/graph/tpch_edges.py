@@ -31,16 +31,28 @@ SPARSE_DIVISOR = 6
 MIN_VERTICES = 100
 
 
-def edges_sql(divisor: int = VERTEX_DIVISOR) -> str:
+def edges_sql(divisor: int = VERTEX_DIVISOR, scramble: bool = False) -> str:
     """SQL fragment (ANSI, runs in DuckDB and Spark alike) producing the
-    canonical undirected edge list (src BIGINT, dst BIGINT, src < dst)."""
+    canonical undirected edge list (src BIGINT, dst BIGINT, src < dst).
+
+    ``scramble=True`` mixes the line number into BOTH endpoints so the
+    1-7 lines of an order no longer share a vertex — a near-uniform
+    low-degree graph with no clustering hubs (used by the path-pattern
+    queries, whose enumeration cost scales with Σ deg^(k-1)).
+    """
+    if scramble:
+        a_expr = "(l_orderkey * 131 + l_linenumber * 9973) % nv"
+        b_expr = "(l_partkey * 7919 + l_suppkey * 13 + 101) % nv"
+    else:
+        a_expr = "l_orderkey % nv"
+        b_expr = "(l_partkey + 7 * l_suppkey + 13 * l_linenumber) % nv"
     return f"""
 WITH _v AS (
   SELECT greatest({MIN_VERTICES}, count(*) // {divisor}) AS nv FROM lineitem
 ),
 _raw AS MATERIALIZED (
-  SELECT l_orderkey % nv AS a,
-         (l_partkey + 7 * l_suppkey + 13 * l_linenumber) % nv AS b
+  SELECT {a_expr} AS a,
+         {b_expr} AS b
   FROM lineitem CROSS JOIN _v
 ),
 edges AS MATERIALIZED (
@@ -54,24 +66,29 @@ EDGES_SQL = edges_sql()
 
 
 def tpch_edges(
-    spark: SparkSession, sf_dir: str, divisor: int = VERTEX_DIVISOR
+    spark: SparkSession,
+    sf_dir: str,
+    divisor: int = VERTEX_DIVISOR,
+    scramble: bool = False,
 ) -> DataFrame:
     """Canonical undirected edge list from ``{sf_dir}/lineitem.parquet``.
 
     Uses integer-only expressions; ``//`` (integer division) matches
-    DuckDB's BIGINT ``/`` on BIGINT inputs.
+    DuckDB's BIGINT ``/`` on BIGINT inputs. See ``edges_sql`` for the
+    ``scramble`` variant.
     """
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
         "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"
     )
     n = li.count()  # single scalar aggregate; drives the id-space size
     nv = max(MIN_VERTICES, n // divisor)
-    a = F.col("l_orderkey") % F.lit(nv)
-    b = (
-        F.col("l_partkey")
-        + F.lit(7) * F.col("l_suppkey")
-        + F.lit(13) * F.col("l_linenumber").cast("long")
-    ) % F.lit(nv)
+    ln = F.col("l_linenumber").cast("long")
+    if scramble:
+        a = (F.col("l_orderkey") * 131 + ln * 9973) % F.lit(nv)
+        b = (F.col("l_partkey") * 7919 + F.col("l_suppkey") * 13 + 101) % F.lit(nv)
+    else:
+        a = F.col("l_orderkey") % F.lit(nv)
+        b = (F.col("l_partkey") + F.lit(7) * F.col("l_suppkey") + F.lit(13) * ln) % F.lit(nv)
     return (
         li.select(a.alias("a"), b.alias("b"))
         .filter(F.col("a") != F.col("b"))

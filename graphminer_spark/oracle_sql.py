@@ -45,12 +45,12 @@ tri AS MATERIALIZED (
 )
 """.strip()
 
-def graph_ctes(divisor: int = 60) -> str:
+def graph_ctes(divisor: int = 60, scramble: bool = False) -> str:
     """CTE list WITHOUT the leading WITH keyword, so composers can
-    choose WITH vs WITH RECURSIVE. ``divisor`` selects the graph
-    density (see ``tpch_edges``)."""
+    choose WITH vs WITH RECURSIVE. ``divisor``/``scramble`` select the
+    graph density and clustering (see ``tpch_edges``)."""
     return (
-        f"{edges_sql(divisor).removeprefix('WITH ')}, "
+        f"{edges_sql(divisor, scramble).removeprefix('WITH ')}, "
         f"{SYM_SQL}, {DEG_SQL}, {DAG_SQL}"
     )
 
@@ -58,8 +58,13 @@ def graph_ctes(divisor: int = 60) -> str:
 GRAPH_CTES = graph_ctes()
 
 
-def graph_query(body: str, with_tri: bool = False, divisor: int = 60) -> str:
-    ctes = graph_ctes(divisor) + (", " + TRI_SQL if with_tri else "")
+def graph_query(
+    body: str,
+    with_tri: bool = False,
+    divisor: int = 60,
+    scramble: bool = False,
+) -> str:
+    ctes = graph_ctes(divisor, scramble) + (", " + TRI_SQL if with_tri else "")
     return f"WITH {ctes} {body}"
 
 
