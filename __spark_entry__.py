@@ -72,15 +72,19 @@ from graphminer_spark.oracle_sql import (
     sessionize_sql,
     top_users_sql,
 )
+from graphminer_spark.algorithms.motifs import motif4_counts
 from graphminer_spark.algorithms.subgraph import (
     SGL_PATTERNS,
     PatternSpec,
     count_matches,
     gks_count,
     gks_sql,
+    motif_counts_induced,
+    motif_counts_sql_body,
     parse_pattern,
     pattern_count_sql_body,
 )
+from graphminer_spark.oracle_sql import MOTIF4_SQL
 from graphminer_spark.oracle_sql import kcore_sql, lsh_ann_sql
 from graphminer_spark.similarity import (
     embedding_neardup,
@@ -306,6 +310,24 @@ def _q_gks(spark, sf_dir):
     return gks_count(sym, with_synthetic_labels(verts), (1, 2, 3))
 
 
+def _q_motif4(spark, sf_dir):
+    edges = tpch_edges(spark, sf_dir).persist()
+    return motif4_counts(edges, build_dag(edges))
+
+
+# 5-motif graph: the scrambled divisor-2 derivation (uniform deg ≈ 4,
+# no clustering hubs) — induced 5-vertex enumeration costs scale with
+# deg^4 per vertex, and triangle-bearing motifs stay non-trivial
+MOTIF5_DIVISOR, MOTIF5_SCRAMBLE = 2, True
+
+
+def _q_motif5(spark, sf_dir):
+    edges = tpch_edges(
+        spark, sf_dir, divisor=MOTIF5_DIVISOR, scramble=MOTIF5_SCRAMBLE
+    )
+    return motif_counts_induced(symmetrize(edges, dedup=False), 5)
+
+
 def _q_rollup(spark, sf_dir):
     return revenue_rollup(spark.read.parquet(f"{sf_dir}/lineitem.parquet"))
 
@@ -466,6 +488,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_labeled_diamond": _q_labeled_diamond,
         "query_labeled_4path": _q_labeled_4path,
         "gks_3keywords": _q_gks,
+        "motif4_counts": _q_motif4,
+        "motif5_counts": _q_motif5,
         "graph_label_freq": _q_label_freq,
         "graph_nlf": _q_nlf,
         "graph_kcore": _q_kcore,
@@ -531,6 +555,12 @@ def oracle_sql() -> dict[str, str]:
             pattern_count_sql_body(LABELED_4PATH)
         ),
         "gks_3keywords": graph_query(gks_sql((1, 2, 3))),
+        "motif4_counts": MOTIF4_SQL,
+        "motif5_counts": graph_query(
+            motif_counts_sql_body(5),
+            divisor=MOTIF5_DIVISOR,
+            scramble=MOTIF5_SCRAMBLE,
+        ),
         "graph_label_freq": graph_query(
             "SELECT (id % 7)::INT AS vlabel, count(*) AS n FROM deg GROUP BY 1"
         ),

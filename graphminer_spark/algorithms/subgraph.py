@@ -280,17 +280,24 @@ def count_matches(
 # --------------------------------------------------------- SQL generation
 
 
-def pattern_count_sql_body(
-    spec: PatternSpec, alias: str | None = None, n_classes: int = 7
-) -> str:
-    """DuckDB count statement over the ``sym`` CTE mirroring
-    ``count_matches``: one MATERIALIZED CTE per matching-order level.
+def pattern_level_ctes(
+    spec: PatternSpec,
+    prefix: str = "m",
+    alias: str | None = None,
+    n_classes: int = 7,
+) -> tuple[list[str], str]:
+    """DuckDB CTE chain mirroring ``count_matches``: one MATERIALIZED
+    CTE per matching-order level, plus the final count expression.
 
     Materialization pins the evaluation order to the same greedy plan
     the Spark side executes — DuckDB's own reordering of the flat
     n-way self-join was observed to pick catastrophic orders for
     triangle-pair patterns (dumbbell: minutes vs seconds). Labels are
     synthetic ``id % n_classes`` (``graph.labels.with_synthetic_labels``).
+
+    Returns ``(ctes, count_select)`` where ``count_select`` is a scalar
+    ``SELECT`` over the last level — composable into multi-pattern
+    statements (``motif5``) under distinct prefixes.
     """
     alias = alias or f"n_{spec.name}"
     (a, b), levels = _level_plan(spec)
@@ -308,7 +315,8 @@ def pattern_count_sql_body(
             seed_conds.append(f"{v(i)} < {v(j)}")
     where = f" WHERE {' AND '.join(seed_conds)}" if seed_conds else ""
     ctes = [
-        f"m0 AS MATERIALIZED (SELECT src AS {v(a)}, dst AS {v(b)} FROM sym{where})"
+        f"{prefix}0 AS MATERIALIZED "
+        f"(SELECT src AS {v(a)}, dst AS {v(b)} FROM sym{where})"
     ]
     cols = [v(a), v(b)]
     for k, lv in enumerate(levels, start=1):
@@ -334,17 +342,106 @@ def pattern_count_sql_body(
         where = f" WHERE {' AND '.join(conds)}" if conds else ""
         sel = ", ".join(f"p.{c}" for c in cols) + f", s.dst AS {v(lv.new)}"
         ctes.append(
-            f"m{k} AS MATERIALIZED (SELECT {sel} FROM m{k - 1} p "
+            f"{prefix}{k} AS MATERIALIZED (SELECT {sel} FROM {prefix}{k - 1} p "
             f"{' '.join(joins)}{where})"
         )
         cols.append(v(lv.new))
     divide = "" if spec.lt else f" // {spec.automorphisms()}"
-    # the body rides inside graph_query's "WITH <ctes> <body>": a
-    # leading comma legally continues the WITH list with the level CTEs
+    count_select = (
+        f"SELECT (count(*){divide})::BIGINT AS {alias} "
+        f"FROM {prefix}{len(levels)}"
+    )
+    return ctes, count_select
+
+
+def pattern_count_sql_body(
+    spec: PatternSpec, alias: str | None = None, n_classes: int = 7
+) -> str:
+    """Single-pattern count body: rides inside ``graph_query``'s
+    ``WITH <ctes> <body>`` — a leading comma legally continues the
+    WITH list with the level CTEs."""
+    ctes, count_select = pattern_level_ctes(spec, alias=alias, n_classes=n_classes)
+    return ", " + ", ".join(ctes) + " " + count_select
+
+
+# --------------------------------------------------- k-motif graph atlas
+
+
+def connected_graphs(k: int) -> list[PatternSpec]:
+    """All non-isomorphic connected graphs on k vertices (2 for k=3,
+    6 for k=4, 21 for k=5 — ``include/pattern.hh:4-15``), generated by
+    brute canonicalization over edge subsets, as induced PatternSpecs.
+
+    Deterministic naming ``g{k}_{idx:02d}`` ordered by (edge count,
+    canonical edge tuple) so query columns are stable across runs.
+    """
+    all_pairs = list(itertools.combinations(range(k), 2))
+    seen: dict[tuple, tuple[tuple[int, int], ...]] = {}
+    for bits in range(1 << len(all_pairs)):
+        edges = tuple(
+            p for i, p in enumerate(all_pairs) if bits & (1 << i)
+        )
+        # connectivity check
+        adj: dict[int, set[int]] = {i: set() for i in range(k)}
+        for u, v in edges:
+            adj[u].add(v)
+            adj[v].add(u)
+        comp, todo = {0}, [0]
+        while todo:
+            x = todo.pop()
+            for y in adj[x]:
+                if y not in comp:
+                    comp.add(y)
+                    todo.append(y)
+        if len(comp) != k:
+            continue
+        canon = min(
+            tuple(
+                sorted(
+                    tuple(sorted((p[u], p[v]))) for u, v in edges
+                )
+            )
+            for p in itertools.permutations(range(k))
+        )
+        if canon not in seen:
+            seen[canon] = edges
+    ordered = sorted(seen, key=lambda c: (len(c), c))
+    return [
+        PatternSpec(f"g{k}_{i:02d}", k, seen[c], induced=True)
+        for i, c in enumerate(ordered)
+    ]
+
+
+def motif_counts_induced(
+    sym_edges: DataFrame, k: int
+) -> DataFrame:
+    """Vertex-induced k-motif counts, one row with one column per
+    connected k-vertex pattern (``n_g{k}_{idx}``) — the AutoMine
+    surface (``src/motif/cpu_kernels/automine_base.h``) via the generic
+    induced matcher."""
+    out = None
+    for spec in connected_graphs(k):
+        c = count_matches(sym_edges, spec)
+        out = c if out is None else out.crossJoin(c)
+    return out
+
+
+def motif_counts_sql_body(k: int) -> str:
+    """Composable DuckDB body for ``motif_counts_induced`` — per-pattern
+    level CTEs under distinct prefixes, final single-row SELECT."""
+    specs = connected_graphs(k)
+    ctes: list[str] = []
+    finals: list[str] = []
+    for i, spec in enumerate(specs):
+        c, sel = pattern_level_ctes(spec, prefix=f"p{i}_")
+        ctes.extend(c)
+        finals.append(f"c{i} AS ({sel})")
+    names = ", ".join(f"n_{s.name}" for s in specs)
+    tables = ", ".join(f"c{i}" for i in range(len(specs)))
     return (
         ", "
-        + ", ".join(ctes)
-        + f" SELECT (count(*){divide})::BIGINT AS {alias} FROM m{len(levels)}"
+        + ", ".join(ctes + finals)
+        + f" SELECT {names} FROM {tables}"
     )
 
 

@@ -532,6 +532,58 @@ FROM wst, ntri, dia, tt, p4, rect
 """.strip()
 
 
+MOTIF4_SQL = f"""
+WITH {GRAPH_CTES}, {TRI_SQL},
+pe AS (
+  SELECT least(a, b) AS src, greatest(a, b) AS dst, count(*) AS tri_cnt
+  FROM (
+    SELECT u AS a, v AS b FROM tri
+    UNION ALL SELECT v AS a, w AS b FROM tri
+    UNION ALL SELECT u AS a, w AS b FROM tri
+  ) GROUP BY 1, 2
+),
+ntri AS (SELECT count(*) AS t FROM tri),
+s3 AS (SELECT sum((deg * (deg - 1) * (deg - 2)) // 6)::BIGINT AS s3 FROM deg),
+dia AS (SELECT coalesce(sum((tri_cnt * (tri_cnt - 1)) // 2), 0)::BIGINT AS d FROM pe),
+tt AS (
+  SELECT coalesce(sum(dd.deg - 2), 0)::BIGINT AS tt
+  FROM (
+    SELECT u AS id FROM tri
+    UNION ALL SELECT v FROM tri
+    UNION ALL SELECT w FROM tri
+  ) c JOIN deg dd ON dd.id = c.id
+),
+p4 AS (
+  SELECT (sum((du.deg - 1) * (dv.deg - 1)) - 3 * (SELECT t FROM ntri))::BIGINT AS p4
+  FROM edges e JOIN deg du ON du.id = e.src JOIN deg dv ON dv.id = e.dst
+),
+codeg AS (
+  SELECT e1.src AS a, e2.dst AS b, count(*) AS c
+  FROM sym e1 JOIN sym e2 ON e1.dst = e2.src AND e1.src < e2.dst
+  GROUP BY e1.src, e2.dst
+),
+rect AS (
+  SELECT (coalesce(sum((c * (c - 1)) // 2), 0) // 2)::BIGINT AS r FROM codeg
+),
+k4 AS (
+  SELECT count(*) AS k4 FROM tri
+  JOIN dag e4 ON e4.src = tri.u
+  JOIN dag e5 ON e5.src = tri.v AND e5.dst = e4.dst
+  JOIN dag e6 ON e6.src = tri.w AND e6.dst = e4.dst
+),
+base AS (SELECT * FROM s3, dia, tt, p4, rect, k4),
+c1 AS (SELECT *, d - 6 * k4 AS i_d FROM base),
+c2 AS (SELECT *, r - i_d - 3 * k4 AS i_c4, tt - 4 * i_d - 12 * k4 AS i_tt FROM c1)
+SELECT (p4 - 2 * i_tt - 4 * i_c4 - 6 * i_d - 12 * k4)::BIGINT AS n_4paths_ind,
+       (s3 - i_tt - 2 * i_d - 4 * k4)::BIGINT AS n_3stars_ind,
+       i_c4::BIGINT AS n_4cycles_ind,
+       i_tt::BIGINT AS n_tailed_triangles_ind,
+       i_d::BIGINT AS n_diamonds_ind,
+       k4::BIGINT AS n_4cliques
+FROM c2
+""".strip()
+
+
 def lsh_ann_sql(k: int, n_planes: int, dim: int) -> str:
     """Bucketed approximate top-k (mirrors similarity.lsh_ann)."""
     plane_cases = []

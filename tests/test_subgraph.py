@@ -392,3 +392,139 @@ def test_gks_vs_bruteforce(spark, small_graph):
             brute += 1
     got = gks_count(sym, verts, keywords).collect()[0][0]
     assert got == brute
+
+
+def test_connected_graph_atlas_sizes():
+    from graphminer_spark.algorithms.subgraph import connected_graphs
+
+    # include/pattern.hh:4-15: 2 / 6 / 21 connected patterns
+    assert len(connected_graphs(3)) == 2
+    assert len(connected_graphs(4)) == 6
+    assert len(connected_graphs(5)) == 21
+
+
+def test_motif_induced_vs_bruteforce(spark, small_graph):
+    """Every induced 4-motif count from the generic matcher must match
+    a brute force over all 4-subsets classified by canonical form."""
+    from graphminer_spark.algorithms.subgraph import connected_graphs
+
+    edges, adj, sym = small_graph
+    eset = {frozenset(e) for e in edges}
+    specs = connected_graphs(4)
+
+    def canon(vs, sub):
+        idx = {v: i for i, v in enumerate(vs)}
+        es = {tuple(sorted((idx[a], idx[b]))) for a, b in sub}
+        return min(
+            tuple(sorted(tuple(sorted((p[a], p[b]))) for a, b in es))
+            for p in itertools.permutations(range(4))
+        )
+
+    spec_by_canon = {
+        min(
+            tuple(sorted(tuple(sorted((p[a], p[b]))) for a, b in s.edges))
+            for p in itertools.permutations(range(4))
+        ): s.name
+        for s in specs
+    }
+    brute = {s.name: 0 for s in specs}
+    for quad in itertools.combinations(sorted(adj), 4):
+        sub = [
+            p for p in itertools.combinations(quad, 2) if frozenset(p) in eset
+        ]
+        if not sub:
+            continue
+        key = canon(quad, sub)
+        if key in spec_by_canon:  # connected classes only
+            brute[spec_by_canon[key]] += 1
+    from graphminer_spark.algorithms.subgraph import count_matches as cm
+
+    for s in specs:
+        got = cm(sym, s).collect()[0][0]
+        assert got == brute[s.name], s.name
+
+
+def test_motif4_formula_citeseer_goldens(spark):
+    """src/motif/README.md:50-60 citeseer vertex-induced goldens."""
+    from graphminer_spark.algorithms.motifs import motif4_counts
+    from graphminer_spark.graph.build import build_dag
+    from graphminer_spark.sources.refgraph import load_ref_graph
+    from pyspark.sql import functions as F
+
+    _, directed = load_ref_graph(spark, CITESEER)
+    canon = directed.filter(F.col("src") < F.col("dst"))
+    row = motif4_counts(canon, build_dag(canon)).collect()[0]
+    assert row["n_4paths_ind"] == 111_153
+    assert row["n_3stars_ind"] == 222_630
+    assert row["n_4cycles_ind"] == 3_094
+    assert row["n_tailed_triangles_ind"] == 22_900
+    assert row["n_diamonds_ind"] == 2_200
+    assert row["n_4cliques"] == 255
+
+
+def test_motif4_formula_equals_induced_matcher(spark, small_graph):
+    """Two independent mechanisms — formula corrections vs induced
+    enumeration — must agree (the reference's redundant-kernel
+    discipline, SURVEY §5)."""
+    from graphminer_spark.algorithms.motifs import motif4_counts
+    from graphminer_spark.algorithms.subgraph import (
+        connected_graphs,
+        count_matches,
+    )
+    from graphminer_spark.graph.build import build_dag
+
+    edges, adj, sym = small_graph
+    canon = edges_df(spark, edges)
+    row = motif4_counts(canon, build_dag(canon)).collect()[0]
+    by_edges = {len(s.edges): s for s in connected_graphs(4) if len(s.edges) in (6, 5, 4)}
+    # 6 edges = K4; 5 = diamond; plus distinguish the 4-edge/3-edge ones
+    got_k4 = count_matches(sym, by_edges[6]).collect()[0][0]
+    got_dia = count_matches(sym, by_edges[5]).collect()[0][0]
+    assert row["n_4cliques"] == got_k4
+    assert row["n_diamonds_ind"] == got_dia
+
+
+def test_motif5_induced_vs_bruteforce(spark):
+    """All 21 induced 5-motif counts vs brute force over 5-subsets of a
+    dense small graph (dense classes — K5 etc. — are exercised here;
+    the driver-gate graph is sparse and only covers the sparse tail)."""
+    from graphminer_spark.algorithms.subgraph import (
+        connected_graphs,
+        count_matches,
+    )
+
+    edges, adj = _random_graph(n=14, p=0.55, seed=3)
+    sym = symmetrize(edges_df(spark, edges), dedup=False).persist()
+    eset = {frozenset(e) for e in edges}
+    specs = connected_graphs(5)
+
+    def canon5(vs, sub):
+        idx = {v: i for i, v in enumerate(vs)}
+        es = {tuple(sorted((idx[a], idx[b]))) for a, b in sub}
+        return min(
+            tuple(sorted(tuple(sorted((p[a], p[b]))) for a, b in es))
+            for p in itertools.permutations(range(5))
+        )
+
+    spec_by_canon = {
+        min(
+            tuple(sorted(tuple(sorted((p[a], p[b]))) for a, b in s.edges))
+            for p in itertools.permutations(range(5))
+        ): s.name
+        for s in specs
+    }
+    brute = {s.name: 0 for s in specs}
+    for quint in itertools.combinations(sorted(adj), 5):
+        sub = [
+            p for p in itertools.combinations(quint, 2) if frozenset(p) in eset
+        ]
+        if not sub:
+            continue
+        key = canon5(quint, sub)
+        if key in spec_by_canon:
+            brute[spec_by_canon[key]] += 1
+    nonzero = sum(1 for v in brute.values() if v > 0)
+    assert nonzero >= 18, f"fixture too sparse: only {nonzero}/21 classes"
+    for s in specs:
+        got = count_matches(sym, s).collect()[0][0]
+        assert got == brute[s.name], s.name
