@@ -55,6 +55,7 @@ from graphminer_spark.algorithms.kcore import kcore
 from graphminer_spark.algorithms.motifs import pattern_counts
 from graphminer_spark.algorithms.patterns import (
     clique_count,
+    fsm_2edge_support,
     fsm_edge_support,
     labeled_triangle_count,
 )
@@ -66,6 +67,7 @@ from graphminer_spark.graph.labels import (
 from graphminer_spark.oracle_sql import (
     EV_WINDOWED_SQL,
     clique_sql,
+    fsm_2edge_support_sql,
     fsm_edge_support_sql,
     labeled_tri_sql,
     PATTERN_COUNTS_SQL,
@@ -178,6 +180,18 @@ def _q_labeled_tri(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_fsm_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, sym, verts = _graph_vertices(spark, sf_dir)
     return fsm_edge_support(sym, with_synthetic_labels(verts), minsup=130)
+
+
+FSM2_MINSUP = 640  # splits the 196 wedge patterns near the median at sf0.01
+
+
+def _q_fsm_2edge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = tpch_edges(spark, sf_dir, divisor=SPARSE_DIVISOR)
+    sym = symmetrize(edges, dedup=False)
+    verts = degrees(sym).select("id")
+    return fsm_2edge_support(
+        sym, with_synthetic_labels(verts), minsup=FSM2_MINSUP
+    )
 
 
 def _graph_vertices(spark: SparkSession, sf_dir: str):
@@ -483,6 +497,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clique5_total": _q_clique5,
         "labeled_tri_count": _q_labeled_tri,
         "fsm_edge_support": _q_fsm_edges,
+        "fsm_2edge_support": _q_fsm_2edge,
         "pattern_counts": _q_patterns,
         **{f"sgl_{n}": _mk_sgl_query(n) for n in sorted(SGL_GRAPH)},
         "query_labeled_diamond": _q_labeled_diamond,
@@ -541,6 +556,9 @@ def oracle_sql() -> dict[str, str]:
         "clique5_total": clique_sql(5),
         "labeled_tri_count": labeled_tri_sql(0, 1, 2),
         "fsm_edge_support": fsm_edge_support_sql(130),
+        "fsm_2edge_support": fsm_2edge_support_sql(
+            FSM2_MINSUP, divisor=SPARSE_DIVISOR
+        ),
         "pattern_counts": PATTERN_COUNTS_SQL,
         **{
             f"sgl_{n}": graph_query(

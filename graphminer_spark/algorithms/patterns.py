@@ -70,6 +70,74 @@ def labeled_triangle_count(
     return tri.agg(F.count("*").alias("n_matches"))
 
 
+def fsm_2edge_support(
+    sym_edges: DataFrame,
+    labeled_vertices: DataFrame,
+    minsup: int,
+) -> DataFrame:
+    """Frequent 2-edge patterns (labeled wedges) with MNI domain
+    support — the first gSpan extension level (``src/fsm/omp_base.cc:
+    150-239`` ``dfs_extend``; published configs use k=2 edges,
+    ``OSDI-experiments-guide.md:107-122``).
+
+    Pattern = path a−b−c with vertex labels (la, lb, lc), canonical
+    form la ≤ lc (the dfscode/is_min dedup for this pattern shape,
+    ``src/fsm/canonical.h``); when la = lc both wedge orientations
+    survive the filter, so the symmetric positions' domains are the
+    union — exactly MNI (``src/fsm/domain_support.h``).
+    support = min(|dom a|, |dom b|, |dom c|) ≥ minsup.
+
+    Anti-monotone pruning: wedge candidates are built only from
+    single-edge patterns that are themselves frequent (semi-join
+    against the level-1 result) — a pure optimization; final supports
+    are unchanged by anti-monotonicity.
+    """
+    lv = labeled_vertices.select("id", "vlabel")
+    lab = (
+        sym_edges.join(
+            lv.select(F.col("id").alias("src"), F.col("vlabel").alias("ls")), "src"
+        ).join(
+            lv.select(F.col("id").alias("dst"), F.col("vlabel").alias("ld")), "dst"
+        )
+    ).persist()
+    freq1 = (
+        fsm_edge_support(sym_edges, labeled_vertices, minsup)
+        .select(F.col("la").alias("_fa"), F.col("lb").alias("_fb"))
+    )
+    pruned = lab.join(
+        freq1,
+        (F.least("ls", "ld") == F.col("_fa"))
+        & (F.greatest("ls", "ld") == F.col("_fb")),
+        "left_semi",
+    )
+    e1 = pruned.select(
+        F.col("src").alias("a"), F.col("dst").alias("b"),
+        F.col("ls").alias("la"), F.col("ld").alias("lb"),
+    )
+    e2 = pruned.select(
+        F.col("src").alias("b"), F.col("dst").alias("c"),
+        F.col("ld").alias("lc"),
+    )
+    wedges = (
+        e1.join(e2, "b")
+        .filter(F.col("a") != F.col("c"))
+        .filter(F.col("la") <= F.col("lc"))
+    )
+    support = (
+        wedges.groupBy("la", "lb", "lc")
+        .agg(
+            F.countDistinct("a").alias("d1"),
+            F.countDistinct("b").alias("d2"),
+            F.countDistinct("c").alias("d3"),
+        )
+        .select(
+            "la", "lb", "lc",
+            F.least("d1", "d2", "d3").alias("support"),
+        )
+    )
+    return support.filter(F.col("support") >= minsup)
+
+
 def fsm_edge_support(
     sym_edges: DataFrame,
     labeled_vertices: DataFrame,

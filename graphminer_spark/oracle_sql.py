@@ -646,6 +646,30 @@ def labeled_tri_sql(la: int, lb: int, lc: int, n_classes: int = 7) -> str:
     )
 
 
+def fsm_2edge_support_sql(
+    minsup: int, n_classes: int = 7, divisor: int = 60
+) -> str:
+    """Labeled-wedge MNI support (mirrors patterns.fsm_2edge_support;
+    the anti-monotone pruning step is omitted — it cannot change which
+    patterns clear minsup)."""
+    return graph_query(
+        f"""
+        SELECT la, lb, lc, support FROM (
+          SELECT e1.src % {n_classes} AS la,
+                 e1.dst % {n_classes} AS lb,
+                 e2.dst % {n_classes} AS lc,
+                 least(count(DISTINCT e1.src), count(DISTINCT e1.dst),
+                       count(DISTINCT e2.dst)) AS support
+          FROM sym e1 JOIN sym e2 ON e1.dst = e2.src
+          WHERE e1.src <> e2.dst
+            AND e1.src % {n_classes} <= e2.dst % {n_classes}
+          GROUP BY 1, 2, 3
+        ) WHERE support >= {minsup}
+        """,
+        divisor=divisor,
+    )
+
+
 def fsm_edge_support_sql(minsup: int, n_classes: int = 7) -> str:
     return graph_query(
         f"""

@@ -89,3 +89,54 @@ def test_fsm_edge_support(spark):
     assert (
         fsm_edge_support(df, lv, minsup=3).count() == 0
     )  # support 2 < 3 pruned
+
+
+def test_fsm_2edge_support_vs_bruteforce(spark):
+    """MNI domain support of labeled wedges vs a literal python
+    oracle (src/fsm/domain_support.h semantics)."""
+    import random
+
+    from graphminer_spark.algorithms.patterns import fsm_2edge_support
+    from graphminer_spark.graph.build import symmetrize
+    from tests.conftest import edges_df
+
+    rng = random.Random(5)
+    n = 30
+    edges = {
+        (i, j)
+        for i in range(n)
+        for j in range(i + 1, n)
+        if rng.random() < 0.2
+    }
+    adj = {i: set() for i in range(n)}
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    doms = {}
+    for b in adj:
+        for a in adj[b]:
+            for c in adj[b]:
+                if a == c:
+                    continue
+                la, lb, lc = a % 7, b % 7, c % 7
+                if la > lc:
+                    continue
+                d = doms.setdefault((la, lb, lc), (set(), set(), set()))
+                d[0].add(a)
+                d[1].add(b)
+                d[2].add(c)
+    minsup = 3
+    want = {
+        k: min(len(d[0]), len(d[1]), len(d[2]))
+        for k, d in doms.items()
+        if min(len(d[0]), len(d[1]), len(d[2])) >= minsup
+    }
+    sym = symmetrize(edges_df(spark, edges), dedup=False)
+    verts = spark.createDataFrame(
+        [(v, v % 7) for v in adj], "id long, vlabel int"
+    )
+    got = {
+        (r["la"], r["lb"], r["lc"]): r["support"]
+        for r in fsm_2edge_support(sym, verts, minsup=minsup).collect()
+    }
+    assert got == want
