@@ -171,6 +171,12 @@ def _q_clique5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clique_count(build_dag(tpch_edges(spark, sf_dir)), 5)
 
 
+def _q_clique6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # reference publishes k up to 9 (src/clique/README.md:52-64); the
+    # generic k-clique join chain is exercised at k=6 in the gate
+    return clique_count(build_dag(tpch_edges(spark, sf_dir)), 6)
+
+
 def _q_labeled_tri(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges, _, verts = _graph_vertices(spark, sf_dir)
     lv = with_synthetic_labels(verts)
@@ -495,6 +501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tc_per_edge": _q_tc_per_edge,
         "clique4_total": _q_clique4,
         "clique5_total": _q_clique5,
+        "clique6_total": _q_clique6,
         "labeled_tri_count": _q_labeled_tri,
         "fsm_edge_support": _q_fsm_edges,
         "fsm_2edge_support": _q_fsm_2edge,
@@ -554,6 +561,7 @@ def oracle_sql() -> dict[str, str]:
             with_tri=True,
         ),
         "clique5_total": clique_sql(5),
+        "clique6_total": clique_sql(6),
         "labeled_tri_count": labeled_tri_sql(0, 1, 2),
         "fsm_edge_support": fsm_edge_support_sql(130),
         "fsm_2edge_support": fsm_2edge_support_sql(

@@ -198,15 +198,23 @@ def simhash64(docs: DataFrame) -> DataFrame:
     return votes.select("doc_id", sim.cast("long").alias("simhash"))
 
 
-def simhash_near_pairs(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``.
+def simhash_near_pairs(
+    docs: DataFrame, max_hamming: int = 8, n_blocks: int = 4
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``,
+    candidates blocked on ``n_blocks`` disjoint sub-keys of the 60-bit
+    hash, then verified with ``bit_count``.
 
-    Scale path: block on 4 × 15-bit sub-keys (pigeonhole: any pair
-    within Hamming 8 of a 60-bit hash shares at least one exact 15-bit
-    block when distance ≤ 3 per... conservatively a candidate
-    generator), then verify with bit_count. Small corpora verify all
-    candidate blocks directly.
+    RECALL BOUND (pigeonhole): a pair is guaranteed to share ≥1 exact
+    block only when its Hamming distance < ``n_blocks``; beyond that
+    the blocking is a heuristic candidate generator and recall is
+    deliberately incomplete (the standard SimHash-dedup trade-off —
+    raise ``n_blocks`` for a stronger guarantee at higher join cost:
+    guaranteed radius = n_blocks − 1). The semantics of this operator
+    are therefore "blocked near-dup detection", and its oracle
+    replicates the same blocking by design.
     """
+    width = 60 // n_blocks
     sh = simhash64(docs).persist()
     blocks = sh.select(
         "doc_id",
@@ -216,11 +224,11 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(i).alias("blk"),
-                        F.shiftrightunsigned(F.col("simhash"), 15 * i)
-                        .bitwiseAND(F.lit((1 << 15) - 1))
+                        F.shiftrightunsigned(F.col("simhash"), width * i)
+                        .bitwiseAND(F.lit((1 << width) - 1))
                         .alias("key"),
                     )
-                    for i in range(4)
+                    for i in range(n_blocks)
                 ]
             )
         ).alias("bk"),

@@ -126,7 +126,12 @@ def main(argv: list[str] | None = None) -> int:
         cc.write.mode("overwrite").parquet(f"{args.out}/components")
     if "lp" in algos:
         ck = CheckpointManager(f"{args.out}/ckpt_lp", every=args.checkpoint_every)
-        lp = label_propagation(sym, verts, n_iter=args.lp_iter, checkpointer=ck)
+        # production path keeps the per-superstep changed-count metric
+        # and stops early on stability; fixed-iteration benchmarking
+        # (until_stable=False) skips that extra shuffle per superstep
+        lp = label_propagation(
+            sym, verts, n_iter=args.lp_iter, checkpointer=ck, until_stable=True
+        )
         lp.labels.write.mode("overwrite").parquet(f"{args.out}/labels")
         metrics["lp_changed_history"] = lp.changed
 
