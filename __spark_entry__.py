@@ -86,6 +86,13 @@ from graphminer_spark.algorithms.subgraph import (
     parse_pattern,
     pattern_count_sql_body,
 )
+from graphminer_spark.graph.bipartite import (
+    BIP_DEGREES_SQL,
+    BUTTERFLY_SQL,
+    bipartite_degrees,
+    bipartite_edges,
+    butterfly_count,
+)
 from graphminer_spark.oracle_sql import MOTIF4_SQL
 from graphminer_spark.oracle_sql import kcore_sql, lsh_ann_sql
 from graphminer_spark.similarity import (
@@ -330,6 +337,14 @@ def _q_gks(spark, sf_dir):
     return gks_count(sym, with_synthetic_labels(verts), (1, 2, 3))
 
 
+def _q_bip_degrees(spark, sf_dir):
+    return bipartite_degrees(bipartite_edges(spark, sf_dir))
+
+
+def _q_butterflies(spark, sf_dir):
+    return butterfly_count(bipartite_edges(spark, sf_dir))
+
+
 def _q_motif4(spark, sf_dir):
     edges = tpch_edges(spark, sf_dir).persist()
     return motif4_counts(edges, build_dag(edges))
@@ -512,6 +527,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gks_3keywords": _q_gks,
         "motif4_counts": _q_motif4,
         "motif5_counts": _q_motif5,
+        "bip_degrees": _q_bip_degrees,
+        "bip_butterflies": _q_butterflies,
         "graph_label_freq": _q_label_freq,
         "graph_nlf": _q_nlf,
         "graph_kcore": _q_kcore,
@@ -582,6 +599,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "gks_3keywords": graph_query(gks_sql((1, 2, 3))),
         "motif4_counts": MOTIF4_SQL,
+        "bip_degrees": BIP_DEGREES_SQL,
+        "bip_butterflies": BUTTERFLY_SQL,
         "motif5_counts": graph_query(
             motif_counts_sql_body(5),
             divisor=MOTIF5_DIVISOR,

@@ -528,3 +528,39 @@ def test_motif5_induced_vs_bruteforce(spark):
     for s in specs:
         got = count_matches(sym, s).collect()[0][0]
         assert got == brute[s.name], s.name
+
+
+def test_butterflies_vs_bruteforce(spark):
+    """Bipartite 2x2-biclique count vs brute force."""
+    import random
+
+    from graphminer_spark.graph.bipartite import (
+        bipartite_degrees,
+        butterfly_count,
+    )
+
+    rng = random.Random(9)
+    edges = {(rng.randrange(12), 100 + rng.randrange(20)) for _ in range(90)}
+    bip = spark.createDataFrame(sorted(edges), "u long, v long")
+    nbrs = {}
+    for u, v in edges:
+        nbrs.setdefault(u, set()).add(v)
+    brute = 0
+    for a, b in itertools.combinations(sorted(nbrs), 2):
+        c = len(nbrs[a] & nbrs[b])
+        brute += c * (c - 1) // 2
+    assert butterfly_count(bip).collect()[0][0] == brute
+    degs = {(r["side"], r["id"]): r["deg"] for r in bipartite_degrees(bip).collect()}
+    assert degs[(0, max(nbrs, key=lambda u: len(nbrs[u])))] == max(
+        len(s) for s in nbrs.values()
+    )
+
+
+def test_match_embeddings_plan_pure_jvm(spark, small_graph):
+    """Pattern-matching plans must stay inside the JVM (no per-row
+    Python) — the north-rule requirement asserted on the house plan."""
+    _, _, sym = small_graph
+    emb = match_embeddings(sym, SGL_PATTERNS["house"])
+    plan = emb._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "Join" in plan
