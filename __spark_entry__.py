@@ -94,9 +94,10 @@ from graphminer_spark.graph.bipartite import (
     butterfly_count,
 )
 from graphminer_spark.oracle_sql import MOTIF4_SQL
-from graphminer_spark.oracle_sql import kcore_sql, lsh_ann_sql
+from graphminer_spark.oracle_sql import ivf_ann_sql, kcore_sql, lsh_ann_sql
 from graphminer_spark.similarity import (
     embedding_neardup,
+    ivf_ann,
     knn_bruteforce,
     lsh_ann,
 )
@@ -441,6 +442,10 @@ def _q_lsh_ann(spark, sf_dir):
     return lsh_ann(_embs(spark, sf_dir), dim=EMB_DIM, k=KNN_K, n_planes=4)
 
 
+def _q_ivf_ann(spark, sf_dir):
+    return ivf_ann(_embs(spark, sf_dir), k=KNN_K, n_centroids=16, n_probe=4)
+
+
 def _q_emb_neardup(spark, sf_dir):
     # 4 planes / τ=0.25 picked so the demo corpus yields non-trivial
     # output (sf0.01 cosine max ≈ 0.51); production near-dup would use
@@ -507,6 +512,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_simhash_neardup": _q_simhash_neardup,
         "emb_knn": _q_knn,
         "emb_lsh_ann": _q_lsh_ann,
+        "emb_ivf_ann": _q_ivf_ann,
         "emb_neardup": _q_emb_neardup,
         "graph_edges": _q_edges,
         "graph_degrees": _q_degrees,
@@ -634,6 +640,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_simhash_neardup": simhash_neardup_sql(20),
         "emb_knn": knn_sql(KNN_K, KNN_QUERIES),
         "emb_lsh_ann": lsh_ann_sql(KNN_K, 4, EMB_DIM),
+        "emb_ivf_ann": ivf_ann_sql(KNN_K, 16, 4),
         "emb_neardup": emb_neardup_sql(0.25, 4, EMB_DIM),
         "olap_revenue_rollup": """
             SELECT l_returnflag, l_linestatus,

@@ -619,6 +619,49 @@ FROM ranked WHERE rank <= {k}
 """.strip()
 
 
+def ivf_ann_sql(k: int, n_centroids: int, n_probe: int) -> str:
+    """Mirrors similarity.ivf_ann (deterministic coarse cells = first
+    n_centroids vectors; assign = argmax rounded cosine, ties → cid)."""
+    return f"""
+WITH e AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS v FROM embeddings),
+c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {n_centroids}),
+ranked AS (
+  SELECT e.vec_id, c.cid,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY round(list_dot_product(e.v, c.cv)
+                    / (sqrt(list_dot_product(e.v, e.v))
+                       * sqrt(list_dot_product(c.cv, c.cv))), 6) DESC, c.cid
+         ) AS r
+  FROM e, c
+),
+assign AS (SELECT vec_id, cid FROM ranked WHERE r = 1),
+probes AS (SELECT vec_id AS query_id, cid FROM ranked WHERE r <= {n_probe}),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM probes p JOIN assign a ON a.cid = p.cid
+  WHERE a.vec_id <> p.query_id
+),
+scored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         round(list_dot_product(q.v, n.v)
+               / (sqrt(list_dot_product(q.v, q.v))
+                  * sqrt(list_dot_product(n.v, n.v))), 6) AS sim
+  FROM cand JOIN e q ON q.vec_id = cand.query_id
+  JOIN e n ON n.vec_id = cand.neighbor_id
+),
+rr AS (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY sim DESC, neighbor_id
+         ) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank::INT AS rank, printf('%.6f', sim) AS sim_s
+FROM rr WHERE rank <= {k}
+""".strip()
+
+
 def clique_sql(k: int) -> str:
     """k-clique count over the DAG: all-pairs join conditions among
     v1..vk (mirrors algorithms.patterns.clique_count)."""

@@ -134,6 +134,82 @@ def lsh_ann(
     )
 
 
+def ivf_ann(
+    embeddings: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF-style approximate top-k neighbors →
+    ``(query_id, neighbor_id, rank, sim_s)``.
+
+    The second ANN strategy next to ``lsh_ann`` (the reference-style
+    ≥2-kernels-per-workload discipline): an inverted-file index —
+    every vector is assigned to its nearest coarse cell, queries probe
+    their ``n_probe`` nearest cells and re-rank exactly within them.
+    Unlike sign-LSH, cell fan-out is explicit (``n_probe``) and the
+    inverted lists shard naturally across executors, which is the
+    10^12-vector layout (one shuffle by cell id, cells ≈ balanced).
+
+    The coarse quantizer here is deterministic — the first
+    ``n_centroids`` vectors stand in for k-means centroids so the
+    DuckDB oracle can replicate it exactly; swapping in trained
+    centroids changes recall, not the plumbing this verifies.
+    """
+    cents = embeddings.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    sim_c = F.round(cosine(F.col("embedding"), F.col("cvec")), 6)
+    ranked = (
+        embeddings.crossJoin(F.broadcast(cents))
+        .select("vec_id", "cid", sim_c.alias("csim"))
+        .withColumn(
+            "r",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(
+                    F.col("csim").desc(), F.col("cid")
+                )
+            ),
+        )
+    )
+    assign = ranked.filter(F.col("r") == 1).select("vec_id", "cid")
+    probes = ranked.filter(F.col("r") <= n_probe).select(
+        F.col("vec_id").alias("query_id"), "cid"
+    )
+    # each vector lives in exactly one cell → no dedup needed
+    cand = probes.join(
+        assign.select(F.col("vec_id").alias("neighbor_id"), "cid"), "cid"
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    q = embeddings.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    n = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("nvec")
+    )
+    scored = (
+        cand.join(q, "query_id")
+        .join(n, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qvec"), F.col("nvec")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            F.format_string("%.6f", F.col("sim")).alias("sim_s"),
+        )
+    )
+
+
 def embedding_neardup(
     embeddings: DataFrame,
     dim: int,
