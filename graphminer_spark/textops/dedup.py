@@ -128,16 +128,32 @@ def jaccard_pairs(
     """Exact n-gram Jaccard similarity pairs ≥ threshold →
     ``(a, b, jaccard)``. With ``candidates`` given, verifies only those
     pairs (the LSH scale path); otherwise all-pairs via shingle
-    self-join (small corpora only)."""
+    self-join (small corpora only).
+
+    Scale note: the candidate path intersects per PAIR — candidates ⋈
+    a-side shingles, then an equi-join keyed on (b, shingle) — so a
+    high-document-frequency shingle never becomes a quadratic hot join
+    key (the inverted-index self-join below would square it); cost is
+    Σ_candidates |shingles(a)|.
+    """
     sh = with_shingles(docs, n).persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    inter = (
-        sh.select(F.col("doc_id").alias("a"), "shingle")
-        .join(sh.select(F.col("doc_id").alias("b"), "shingle"), "shingle")
-        .filter(F.col("a") < F.col("b"))
-    )
     if candidates is not None:
-        inter = inter.join(candidates, ["a", "b"], "left_semi")
+        inter = (
+            candidates.join(
+                sh.select(F.col("doc_id").alias("a"), "shingle"), "a"
+            )
+            .join(
+                sh.select(F.col("doc_id").alias("b"), "shingle"),
+                ["b", "shingle"],
+            )
+        )
+    else:
+        inter = (
+            sh.select(F.col("doc_id").alias("a"), "shingle")
+            .join(sh.select(F.col("doc_id").alias("b"), "shingle"), "shingle")
+            .filter(F.col("a") < F.col("b"))
+        )
     inter = inter.groupBy("a", "b").agg(F.count("*").alias("inter"))
     out = (
         inter.join(sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sa")), "a")
