@@ -56,6 +56,7 @@ from graphminer_spark.algorithms.motifs import pattern_counts
 from graphminer_spark.algorithms.patterns import (
     clique_count,
     fsm_2edge_support,
+    fsm_3edge_support,
     fsm_edge_support,
     labeled_triangle_count,
 )
@@ -68,6 +69,7 @@ from graphminer_spark.oracle_sql import (
     EV_WINDOWED_SQL,
     clique_sql,
     fsm_2edge_support_sql,
+    fsm_3edge_support_sql,
     fsm_edge_support_sql,
     labeled_tri_sql,
     PATTERN_COUNTS_SQL,
@@ -205,6 +207,18 @@ def _q_fsm_2edge(spark: SparkSession, sf_dir: str) -> DataFrame:
     verts = degrees(sym).select("id")
     return fsm_2edge_support(
         sym, with_synthetic_labels(verts), minsup=FSM2_MINSUP
+    )
+
+
+FSM3_MINSUP = 520
+
+
+def _q_fsm_3edge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = tpch_edges(spark, sf_dir, divisor=SPARSE_DIVISOR)
+    sym = symmetrize(edges, dedup=False)
+    verts = degrees(sym).select("id")
+    return fsm_3edge_support(
+        sym, with_synthetic_labels(verts), minsup=FSM3_MINSUP
     )
 
 
@@ -526,6 +540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "labeled_tri_count": _q_labeled_tri,
         "fsm_edge_support": _q_fsm_edges,
         "fsm_2edge_support": _q_fsm_2edge,
+        "fsm_3edge_support": _q_fsm_3edge,
         "pattern_counts": _q_patterns,
         **{f"sgl_{n}": _mk_sgl_query(n) for n in sorted(SGL_GRAPH)},
         "query_labeled_diamond": _q_labeled_diamond,
@@ -589,6 +604,9 @@ def oracle_sql() -> dict[str, str]:
         "fsm_edge_support": fsm_edge_support_sql(130),
         "fsm_2edge_support": fsm_2edge_support_sql(
             FSM2_MINSUP, divisor=SPARSE_DIVISOR
+        ),
+        "fsm_3edge_support": fsm_3edge_support_sql(
+            FSM3_MINSUP, divisor=SPARSE_DIVISOR
         ),
         "pattern_counts": PATTERN_COUNTS_SQL,
         **{

@@ -138,6 +138,110 @@ def fsm_2edge_support(
     return support.filter(F.col("support") >= minsup)
 
 
+def fsm_3edge_support(
+    sym_edges: DataFrame,
+    labeled_vertices: DataFrame,
+    minsup: int,
+) -> DataFrame:
+    """Frequent 3-edge patterns with MNI domain support — the complete
+    gSpan level after wedges (``src/fsm/omp_base.cc:150-239``): every
+    connected 3-edge shape is a labeled triangle, 3-star, or 4-path.
+
+    Canonical-form dedup per shape (``src/fsm/canonical.h`` role):
+    triangle → labels sorted (Aut = S3); star → leaf labels sorted;
+    path → label tuple ≤ its reverse. Palindromic/equal-label patterns
+    keep both orientations, merging the symmetric positions' domains —
+    MNI semantics (``src/fsm/domain_support.h``).
+
+    Output: ``(shape, p1, p2, p3, p4, support)`` with p4 = -1 for the
+    triangle (3 labeled positions); support = min over position
+    domains, ≥ minsup. Star positions: (center, leaf₁..₃); path
+    positions: the 4 path vertices in order.
+    """
+    lv = labeled_vertices.select("id", "vlabel")
+
+    def lab(side: str, as_: str):
+        return lv.select(F.col("id").alias(side), F.col("vlabel").alias(as_))
+
+    e = (
+        sym_edges.join(lab("src", "ls"), "src")
+        .join(lab("dst", "ld"), "dst")
+        .select("src", "dst", "ls", "ld")
+        .persist()
+    )
+
+    def mni(df: DataFrame, shape: str, positions: list[str], labels: list):
+        pads = labels + [F.lit(-1)] * (4 - len(labels))
+        keyed = df.select(
+            *positions,
+            *[p.alias(f"p{i + 1}") for i, p in enumerate(pads)],
+        )
+        aggs = [
+            F.countDistinct(p).alias(f"d{i}") for i, p in enumerate(positions)
+        ]
+        sup = keyed.groupBy("p1", "p2", "p3", "p4").agg(*aggs)
+        return sup.select(
+            F.lit(shape).alias("shape"),
+            "p1", "p2", "p3", "p4",
+            F.least(*[f"d{i}" for i in range(len(positions))]).alias("support"),
+        )
+
+    # triangle: ordered (u,v,w), all adjacent, labels ascending
+    t1 = e.select(F.col("src").alias("u"), F.col("dst").alias("v"),
+                  F.col("ls").alias("lu"), F.col("ld").alias("lv"))
+    t2 = e.select(F.col("src").alias("v"), F.col("dst").alias("w"),
+                  F.col("ld").alias("lw"))
+    t3 = sym_edges.select(F.col("src").alias("u"), F.col("dst").alias("w"))
+    tri = (
+        t1.join(t2, "v").join(t3, ["u", "w"])
+        .filter((F.col("lu") <= F.col("lv")) & (F.col("lv") <= F.col("lw")))
+    )
+    tri_sup = mni(tri, "triangle", ["u", "v", "w"],
+                  [F.col("lu"), F.col("lv"), F.col("lw")])
+
+    # 3-star: center b with ordered-label leaves (pairwise distinct)
+    leaf = lambda n: e.select(  # noqa: E731
+        F.col("src").alias("b"), F.col("dst").alias(n),
+        F.col("ls").alias("lb"), F.col("ld").alias(f"l{n}"),
+    )
+    star = (
+        leaf("x")
+        .join(leaf("y").drop("lb"), "b")
+        .join(leaf("z").drop("lb"), "b")
+        .filter(
+            (F.col("x") != F.col("y")) & (F.col("y") != F.col("z"))
+            & (F.col("x") != F.col("z"))
+        )
+        .filter((F.col("lx") <= F.col("ly")) & (F.col("ly") <= F.col("lz")))
+    )
+    star_sup = mni(star, "star", ["b", "x", "y", "z"],
+                   [F.col("lb"), F.col("lx"), F.col("ly"), F.col("lz")])
+
+    # 4-path a-b-c-d: label tuple ≤ its reverse
+    p1 = e.select(F.col("src").alias("a"), F.col("dst").alias("b"),
+                  F.col("ls").alias("la"), F.col("ld").alias("lb"))
+    p2 = e.select(F.col("src").alias("b"), F.col("dst").alias("c"),
+                  F.col("ld").alias("lc"))
+    p3 = e.select(F.col("src").alias("c"), F.col("dst").alias("d"),
+                  F.col("ld").alias("ld2"))
+    path = (
+        p1.join(p2, "b").join(p3, "c")
+        .filter(
+            (F.col("a") != F.col("c")) & (F.col("b") != F.col("d"))
+            & (F.col("a") != F.col("d"))
+        )
+        .filter(
+            (F.col("la") < F.col("ld2"))
+            | ((F.col("la") == F.col("ld2")) & (F.col("lb") <= F.col("lc")))
+        )
+    )
+    path_sup = mni(path, "path", ["a", "b", "c", "d"],
+                   [F.col("la"), F.col("lb"), F.col("lc"), F.col("ld2")])
+
+    out = tri_sup.unionByName(star_sup).unionByName(path_sup)
+    return out.filter(F.col("support") >= minsup)
+
+
 def fsm_edge_support(
     sym_edges: DataFrame,
     labeled_vertices: DataFrame,

@@ -713,6 +713,55 @@ def fsm_2edge_support_sql(
     )
 
 
+def fsm_3edge_support_sql(
+    minsup: int, n_classes: int = 7, divisor: int = 60
+) -> str:
+    """All 3-edge shapes (triangle / 3-star / 4-path) with MNI support
+    (mirrors patterns.fsm_3edge_support, same canonical forms)."""
+    m = n_classes
+    return graph_query(
+        f"""
+        SELECT shape, p1, p2, p3, p4, support FROM (
+          SELECT 'triangle' AS shape,
+                 e1.src % {m} AS p1, e1.dst % {m} AS p2, e2.dst % {m} AS p3,
+                 -1 AS p4,
+                 least(count(DISTINCT e1.src), count(DISTINCT e1.dst),
+                       count(DISTINCT e2.dst)) AS support
+          FROM sym e1
+          JOIN sym e2 ON e1.dst = e2.src
+          JOIN sym e3 ON e3.src = e1.src AND e3.dst = e2.dst
+          WHERE e1.src % {m} <= e1.dst % {m} AND e1.dst % {m} <= e2.dst % {m}
+          GROUP BY 1, 2, 3, 4
+          UNION ALL
+          SELECT 'star',
+                 e1.src % {m}, e1.dst % {m}, e2.dst % {m}, e3.dst % {m},
+                 least(count(DISTINCT e1.src), count(DISTINCT e1.dst),
+                       count(DISTINCT e2.dst), count(DISTINCT e3.dst))
+          FROM sym e1
+          JOIN sym e2 ON e2.src = e1.src
+          JOIN sym e3 ON e3.src = e1.src
+          WHERE e1.dst <> e2.dst AND e2.dst <> e3.dst AND e1.dst <> e3.dst
+            AND e1.dst % {m} <= e2.dst % {m} AND e2.dst % {m} <= e3.dst % {m}
+          GROUP BY 1, 2, 3, 4, 5
+          UNION ALL
+          SELECT 'path',
+                 e1.src % {m}, e1.dst % {m}, e2.dst % {m}, e3.dst % {m},
+                 least(count(DISTINCT e1.src), count(DISTINCT e1.dst),
+                       count(DISTINCT e2.dst), count(DISTINCT e3.dst))
+          FROM sym e1
+          JOIN sym e2 ON e2.src = e1.dst
+          JOIN sym e3 ON e3.src = e2.dst
+          WHERE e1.src <> e2.dst AND e1.dst <> e3.dst AND e1.src <> e3.dst
+            AND (e1.src % {m} < e3.dst % {m}
+                 OR (e1.src % {m} = e3.dst % {m}
+                     AND e1.dst % {m} <= e2.dst % {m}))
+          GROUP BY 1, 2, 3, 4, 5
+        ) WHERE support >= {minsup}
+        """,
+        divisor=divisor,
+    )
+
+
 def fsm_edge_support_sql(minsup: int, n_classes: int = 7) -> str:
     return graph_query(
         f"""

@@ -140,3 +140,71 @@ def test_fsm_2edge_support_vs_bruteforce(spark):
         for r in fsm_2edge_support(sym, verts, minsup=minsup).collect()
     }
     assert got == want
+
+
+def test_fsm_3edge_support_vs_bruteforce(spark):
+    """Every 3-edge shape (triangle/star/path) MNI-supported exactly as
+    a literal python oracle computes it."""
+    import itertools
+    import random
+
+    from graphminer_spark.algorithms.patterns import fsm_3edge_support
+    from graphminer_spark.graph.build import symmetrize
+    from tests.conftest import edges_df
+
+    rng = random.Random(12)
+    n = 26
+    edges = {
+        (i, j)
+        for i in range(n)
+        for j in range(i + 1, n)
+        if rng.random() < 0.4
+    }
+    adj = {i: set() for i in range(n)}
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    doms = {}
+
+    def add(shape, labels, verts):
+        d = doms.setdefault((shape, *labels), [set() for _ in verts])
+        for i, v in enumerate(verts):
+            d[i].add(v)
+
+    L = lambda v: v % 7  # noqa: E731
+    for u in adj:
+        for v in adj[u]:
+            for w in adj[v]:
+                if w == u:
+                    continue
+                # triangle (ordered, labels ascending)
+                if w in adj[u] and L(u) <= L(v) <= L(w):
+                    add("triangle", (L(u), L(v), L(w), -1), (u, v, w))
+                # path u-v-w-x
+                for x in adj[w]:
+                    if x in (u, v):
+                        continue
+                    lu, lv, lw, lx = L(u), L(v), L(w), L(x)
+                    if lu < lx or (lu == lx and lv <= lw):
+                        add("path", (lu, lv, lw, lx), (u, v, w, x))
+        # star
+        for x, y, z in itertools.permutations(adj[u], 3):
+            if L(x) <= L(y) <= L(z):
+                add("star", (L(u), L(x), L(y), L(z)), (u, x, y, z))
+    minsup = 3
+    want = {
+        k: min(len(s) for s in d)
+        for k, d in doms.items()
+        if min(len(s) for s in d) >= minsup
+    }
+    sym = symmetrize(edges_df(spark, edges), dedup=False)
+    verts = spark.createDataFrame(
+        [(v, v % 7) for v in adj], "id long, vlabel int"
+    )
+    got = {
+        (r["shape"], r["p1"], r["p2"], r["p3"], r["p4"]): r["support"]
+        for r in fsm_3edge_support(sym, verts, minsup=minsup).collect()
+    }
+    assert set(got) == set(want)
+    assert got == want
+    assert any(k[0] == "triangle" for k in got), "triangle branch untested"
