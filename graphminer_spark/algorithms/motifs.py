@@ -82,37 +82,68 @@ def star3_count(deg: DataFrame) -> DataFrame:
     )
 
 
-def diamond_count(canonical_edges: DataFrame, dag: DataFrame) -> DataFrame:
+def diamond_count(
+    canonical_edges: DataFrame,
+    dag: DataFrame,
+    pe: DataFrame | None = None,
+) -> DataFrame:
     """Diamonds (K4 minus an edge, edge-induced) = Σ_e C(tri(e), 2):
     pairs of triangles sharing edge e (e = the diamond's central edge)."""
-    pe = per_edge_triangles(canonical_edges, dag, include_zero=False)
-    return pe.agg(F.sum(_c2(F.col("tri_cnt"))).alias("n_diamonds"))
+    if pe is None:
+        pe = per_edge_triangles(canonical_edges, dag, include_zero=False)
+    return pe.agg(
+        F.coalesce(F.sum(_c2(F.col("tri_cnt"))), F.lit(0).cast("long")).alias(
+            "n_diamonds"
+        )
+    )
 
 
 def tailed_triangle_count(
-    canonical_edges: DataFrame, dag: DataFrame
+    canonical_edges: DataFrame,
+    dag: DataFrame,
+    pe: DataFrame | None = None,
 ) -> DataFrame:
-    """Tailed triangles (edge-induced) = Σ_T Σ_{v∈T} (deg(v) − 2)."""
+    """Tailed triangles (edge-induced) = Σ_T Σ_{v∈T} (deg(v) − 2).
+
+    Computed from per-edge triangle counts without re-enumerating
+    triangles: t_v = ½ Σ_{e∋v} t_e (each triangle at v has two edges
+    at v), so the total is ½ Σ_e t_e·(deg(u) + deg(v) − 4) — exactly
+    even, shift-divided. Passing ``pe`` (from ``per_edge_triangles(...,
+    include_zero=False)``) lets ``pattern_counts``/``motif4_counts``
+    share ONE triangle enumeration across diamond + tailed counts.
+    """
     deg = degrees(symmetrize(canonical_edges, dedup=False))
-    tri = enumerate_triangles(dag)
-    corners = (
-        tri.select(F.col("u").alias("id"))
-        .unionByName(tri.select(F.col("v").alias("id")))
-        .unionByName(tri.select(F.col("w").alias("id")))
-    )
+    if pe is None:
+        pe = per_edge_triangles(canonical_edges, dag, include_zero=False)
+    du = deg.select(F.col("id").alias("src"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("id").alias("dst"), F.col("deg").alias("dv"))
+    term = F.col("tri_cnt") * (F.col("du") + F.col("dv") - 4)
     return (
-        corners.join(deg, "id")
-        .agg(F.sum(F.col("deg") - 2).alias("n_tailed_triangles"))
+        pe.join(du, "src")
+        .join(dv, "dst")
+        .agg(
+            F.coalesce(
+                F.shiftright(F.sum(term), 1), F.lit(0).cast("long")
+            ).alias("n_tailed_triangles")
+        )
     )
 
 
-def path4_count(canonical_edges: DataFrame, dag: DataFrame) -> DataFrame:
+def path4_count(
+    canonical_edges: DataFrame,
+    dag: DataFrame,
+    pe: DataFrame | None = None,
+) -> DataFrame:
     """4-paths P4 (edge-induced) = Σ_{(u,v)∈E} (deg(u)−1)(deg(v)−1)
-    − 3·triangles."""
+    − 3·triangles. With ``pe`` given, the triangle total comes from
+    Σ t_e / 3 instead of a fresh enumeration."""
     deg = degrees(symmetrize(canonical_edges, dedup=False))
     du = deg.select(F.col("id").alias("src"), F.col("deg").alias("du"))
     dv = deg.select(F.col("id").alias("dst"), F.col("deg").alias("dv"))
-    tri = triangle_count(dag).collect()[0]["n_triangles"]
+    if pe is not None:
+        tri = pe.agg(F.coalesce(F.sum("tri_cnt"), F.lit(0))).collect()[0][0] // 3
+    else:
+        tri = triangle_count(dag).collect()[0]["n_triangles"]
     return (
         canonical_edges.join(F.broadcast(du), "src")
         .join(F.broadcast(dv), "dst")
@@ -128,13 +159,19 @@ def pattern_counts(canonical_edges: DataFrame, dag: DataFrame) -> DataFrame:
     """All named-pattern counts in one row — the engine's answer to the
     reference's per-pattern golden tables."""
     deg = degrees(symmetrize(canonical_edges, dedup=False))
+    # ONE triangle enumeration feeds the total, diamond and tailed
+    # counts (t_e table persisted across the three aggregates)
+    pe = per_edge_triangles(canonical_edges, dag, include_zero=False).persist()
     out = (
         wedge_count(deg)
         .crossJoin(star3_count(deg))
-        .crossJoin(triangle_count(dag))
-        .crossJoin(diamond_count(canonical_edges, dag))
-        .crossJoin(tailed_triangle_count(canonical_edges, dag))
-        .crossJoin(path4_count(canonical_edges, dag))
+        .crossJoin(
+            pe.agg(F.coalesce(F.sum("tri_cnt"), F.lit(0)).alias("_t3"))
+            .select(F.expr("_t3 div 3").alias("n_triangles"))  # Σ t_e = 3T
+        )
+        .crossJoin(diamond_count(canonical_edges, dag, pe))
+        .crossJoin(tailed_triangle_count(canonical_edges, dag, pe))
+        .crossJoin(path4_count(canonical_edges, dag, pe))
         .crossJoin(rectangle_count(canonical_edges, dag))
     )
     return out.select(
@@ -165,16 +202,25 @@ def motif4_counts(canonical_edges: DataFrame, dag: DataFrame) -> DataFrame:
     (``src/motif/README.md:50-60``: 111,153 / 222,630 / 3,094 /
     22,900 / 2,200 / 255) and the generic induced matcher in pytest.
     """
-    from graphminer_spark.algorithms.triangles import clique4_count
+    from graphminer_spark.algorithms.triangles import (
+        clique4_count,
+        enumerate_triangles,
+    )
 
     deg = degrees(symmetrize(canonical_edges, dedup=False))
+    # ONE triangle enumeration shared by per-edge counts (diamond,
+    # tailed, P4 correction) and the K4 extension join
+    tri = enumerate_triangles(dag).persist()
+    pe = per_edge_triangles(
+        canonical_edges, dag, include_zero=False, tri=tri
+    ).persist()
     base = (
         star3_count(deg)
-        .crossJoin(diamond_count(canonical_edges, dag))
-        .crossJoin(tailed_triangle_count(canonical_edges, dag))
-        .crossJoin(path4_count(canonical_edges, dag))
+        .crossJoin(diamond_count(canonical_edges, dag, pe))
+        .crossJoin(tailed_triangle_count(canonical_edges, dag, pe))
+        .crossJoin(path4_count(canonical_edges, dag, pe))
         .crossJoin(rectangle_count(canonical_edges, dag))
-        .crossJoin(clique4_count(dag))
+        .crossJoin(clique4_count(dag, tri))
     )
     k4 = F.col("n_4cliques")
     i_d = (F.col("n_diamonds") - 6 * k4).alias("n_diamonds_ind")

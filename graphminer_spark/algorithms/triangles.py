@@ -46,15 +46,20 @@ def triangle_count(dag: DataFrame) -> DataFrame:
 
 
 def per_edge_triangles(
-    canonical_edges: DataFrame, dag: DataFrame, include_zero: bool = True
+    canonical_edges: DataFrame,
+    dag: DataFrame,
+    include_zero: bool = True,
+    tri: DataFrame | None = None,
 ) -> DataFrame:
     """Per-edge triangle counts (the north rule's TC output).
 
     Each triangle {u,v,w} contributes +1 to each of its three edges.
     Output: ``(src, dst, tri_cnt)`` over canonical (src<dst) edges;
-    edges on no triangle appear with 0 when ``include_zero``.
+    edges on no triangle appear with 0 when ``include_zero``. Pass a
+    (persisted) ``tri`` to share one enumeration across consumers.
     """
-    tri = enumerate_triangles(dag)
+    if tri is None:
+        tri = enumerate_triangles(dag)
     sides = (
         tri.select(F.col("u").alias("a"), F.col("v").alias("b"))
         .unionByName(tri.select(F.col("v").alias("a"), F.col("w").alias("b")))
@@ -129,14 +134,15 @@ def triangle_count_csr(dag: DataFrame, num_blocks: int = 32) -> DataFrame:
     return partials.agg(F.sum("n").alias("n_triangles"))
 
 
-def clique4_count(dag: DataFrame) -> DataFrame:
+def clique4_count(dag: DataFrame, tri: DataFrame | None = None) -> DataFrame:
     """4-clique count: extend each triangle by a common out-neighbor.
 
     Reference: ``src/clique/cpu_kernels/clique_base.h`` (k=4) — one more
     bounded intersection per level; here one more join per level.
     Output: single row ``(n_4cliques: long)``.
     """
-    tri = enumerate_triangles(dag)
+    if tri is None:
+        tri = enumerate_triangles(dag)
     e_u = dag.select(F.col("src").alias("u"), F.col("dst").alias("x"))
     e_v = dag.select(F.col("src").alias("v"), F.col("dst").alias("x"))
     e_w = dag.select(F.col("src").alias("w"), F.col("dst").alias("x"))
