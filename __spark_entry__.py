@@ -20,6 +20,13 @@ from graphminer_spark.algorithms.triangles import (
     clique4_count,
     per_edge_triangles,
     triangle_count,
+    triangle_count_sampled,
+)
+from graphminer_spark.multimodal import (
+    dedup_assets,
+    extract_media_meta,
+    frame_sample,
+    synthesize_assets,
 )
 from graphminer_spark.graph.build import (
     build_dag,
@@ -469,6 +476,31 @@ def _q_emb_neardup(spark, sf_dir):
     )
 
 
+def _q_tc_approx(spark, sf_dir):
+    return triangle_count_sampled(tpch_edges(spark, sf_dir))
+
+
+MM_DUP_GROUPS = 100
+
+
+def _q_mm_meta(spark, sf_dir):
+    meta = extract_media_meta(synthesize_assets(_docs(spark, sf_dir)))
+    return meta.select(
+        "asset_id", "kind", "width", "height", "n_frames", "n_bytes"
+    )
+
+
+def _q_mm_frames(spark, sf_dir):
+    return frame_sample(synthesize_assets(_docs(spark, sf_dir)), every_n=2)
+
+
+def _q_mm_dedup(spark, sf_dir):
+    assets = synthesize_assets(_docs(spark, sf_dir), dup_groups=MM_DUP_GROUPS)
+    # content_sha256 is dropped for the oracle comparison: the oracle
+    # derives the duplicate groups arithmetically, not from bytes
+    return dedup_assets(assets).select("keep_id", "n_copies")
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/events.parquet")
 
@@ -534,6 +566,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_dag": _q_dag_edges,
         "tc_total": _q_tc_total,
         "tc_per_edge": _q_tc_per_edge,
+        "tc_approx": _q_tc_approx,
+        "mm_media_meta": _q_mm_meta,
+        "mm_frame_sample": _q_mm_frames,
+        "mm_asset_dedup": _q_mm_dedup,
         "clique4_total": _q_clique4,
         "clique5_total": _q_clique5,
         "clique6_total": _q_clique6,
@@ -589,6 +625,44 @@ def oracle_sql() -> dict[str, str]:
             """,
             with_tri=True,
         ),
+        "tc_approx": graph_query(
+            """
+            SELECT count(*) AS sampled_triangles,
+                   count(*) * 64 AS est_triangles
+            FROM (SELECT src, dst FROM edges
+                  WHERE md5(src::VARCHAR || ':' || dst::VARCHAR) < '4') s1
+            JOIN (SELECT src, dst FROM edges
+                  WHERE md5(src::VARCHAR || ':' || dst::VARCHAR) < '4') s2
+              ON s2.src = s1.src AND s2.dst > s1.dst
+            JOIN (SELECT src, dst FROM edges
+                  WHERE md5(src::VARCHAR || ':' || dst::VARCHAR) < '4') s3
+              ON s3.src = s1.dst AND s3.dst = s2.dst
+            """
+        ),
+        "mm_media_meta": """
+            WITH p AS (
+              SELECT doc_id AS asset_id, doc_id % 3 AS k,
+                     8 + doc_id % 25 AS width, 8 + doc_id % 17 AS height,
+                     CASE WHEN doc_id % 3 = 2 THEN 1 + doc_id % 30 ELSE 1 END
+                       AS n_frames
+              FROM documents)
+            SELECT asset_id,
+                   CASE k WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                          ELSE 'video' END AS kind,
+                   width, height, n_frames,
+                   11 + 32 * (((width * height * n_frames) // 32) % 64 + 1)
+                     AS n_bytes
+            FROM p
+        """,
+        "mm_frame_sample": """
+            SELECT asset_id, UNNEST(range(0, nf, 2)) AS frame_idx
+            FROM (SELECT doc_id AS asset_id, 1 + doc_id % 30 AS nf
+                  FROM documents WHERE doc_id % 3 = 2)
+        """,
+        "mm_asset_dedup": """
+            SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+            FROM documents GROUP BY doc_id % 100
+        """,
         "clique4_total": graph_query(
             """
             SELECT count(*) AS n_4cliques FROM tri

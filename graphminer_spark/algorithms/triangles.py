@@ -45,6 +45,47 @@ def triangle_count(dag: DataFrame) -> DataFrame:
     return enumerate_triangles(dag).agg(F.count("*").alias("n_triangles"))
 
 
+def sample_edges_deterministic(
+    canonical_edges: DataFrame, keep_below: str = "4"
+) -> DataFrame:
+    """Deterministic DOULION-style edge sample: keep an edge iff the
+    md5 of ``"src:dst"`` is lexicographically below ``keep_below``
+    (first hex digit < 4 → p = 4/16 = 1/4 by default).
+
+    Hash-based (not RNG) sampling so the sample is (a) reproducible
+    across runs/retries — a requirement for resumable 100 TB jobs where
+    stages recompute — and (b) expressible identically in ANSI SQL for
+    the cross-engine oracle. The filter is a JVM-side expression pushed
+    into the scan; no shuffle is added.
+    """
+    key = F.md5(F.concat_ws(":", F.col("src"), F.col("dst")))
+    return canonical_edges.filter(key < F.lit(keep_below))
+
+
+def triangle_count_sampled(
+    canonical_edges: DataFrame, keep_below: str = "4", scale_num: int = 64
+) -> DataFrame:
+    """Approximate triangle count by edge sampling (DOULION: sample
+    each edge with probability p, count triangles on the sample, scale
+    by 1/p³). Reference analogue: the approximate-mining workload
+    family (``/root/reference/src/approx``); the estimator is standard
+    published DOULION (Tsourakakis et al., KDD'09).
+
+    With the default p = 1/4 the sampled wedge join touches ~1/16 of
+    the wedges — the knob that turns an infeasible exact count at
+    100 TB into a bounded-error estimate. Output: one row
+    ``(sampled_triangles: long, est_triangles: long)``.
+    """
+    from graphminer_spark.graph.build import build_dag
+
+    samp = sample_edges_deterministic(canonical_edges, keep_below)
+    cnt = triangle_count(build_dag(samp))
+    return cnt.select(
+        F.col("n_triangles").alias("sampled_triangles"),
+        (F.col("n_triangles") * scale_num).alias("est_triangles"),
+    )
+
+
 def per_edge_triangles(
     canonical_edges: DataFrame,
     dag: DataFrame,

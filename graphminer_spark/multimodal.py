@@ -43,6 +43,48 @@ def make_fake_media(asset_id: int, kind: int, w: int, h: int, frames: int) -> by
     return _HDR.pack(_MAGIC, kind, w, h, frames) + payload
 
 
+def _params_for_key(k: int) -> tuple[int, int, int, int]:
+    """Closed-form synthetic media parameters for integer key ``k``.
+
+    Pure integer arithmetic so an independent SQL oracle can derive the
+    expected metadata without touching bytes: kind = k%3,
+    width = 8+k%25, height = 8+k%17, frames = 1+k%30 for video else 1.
+    """
+    kind = k % 3
+    w = 8 + k % 25
+    h = 8 + k % 17
+    frames = 1 + k % 30 if kind == 2 else 1
+    return kind, w, h, frames
+
+
+def synthesize_assets(
+    docs: DataFrame, dup_groups: int | None = None
+) -> DataFrame:
+    """``documents`` → ``(asset_id, media)`` with deterministic blobs.
+
+    One Arrow pass builds a binary media column per document; blob
+    content is a pure function of ``doc_id`` (or ``doc_id %
+    dup_groups`` when set, yielding exact duplicate blobs for the
+    content-hash dedup path). Stands in for the 100 TB scan of a real
+    asset column family; everything downstream (decode, frame
+    sampling, dedup) exercises the genuine mapInPandas plumbing.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = [int(x) for x in pdf["doc_id"]]
+            blobs = []
+            for aid in ids:
+                k = aid % dup_groups if dup_groups else aid
+                kind, w, h, frames = _params_for_key(k)
+                blobs.append(make_fake_media(k, kind, w, h, frames))
+            yield pd.DataFrame({"asset_id": ids, "media": blobs})
+
+    return docs.select("doc_id").mapInPandas(
+        run, schema="asset_id long, media binary"
+    )
+
+
 def decode_header(blob: bytes) -> tuple[str, int, int, int]:
     """STUB decoder: real deployments plug ffmpeg/PIL here."""
     if blob[:4] != _MAGIC:

@@ -6,10 +6,12 @@ import pytest
 from pyspark.sql import functions as F
 
 from graphminer_spark.multimodal import (
+    _params_for_key,
     dedup_assets,
     extract_media_meta,
     frame_sample,
     make_fake_media,
+    synthesize_assets,
 )
 from graphminer_spark.streaming.events import (
     sessionize,
@@ -97,6 +99,32 @@ def test_frame_sampling(spark, assets):
 def test_asset_dedup(spark, assets):
     out = {r["keep_id"]: r["n_copies"] for r in dedup_assets(assets).collect()}
     assert out[1] == 2 and out[2] == 1 and out[4] == 1
+
+
+def test_synthesize_assets_roundtrip(spark):
+    """Blob synthesis → header decode recovers the closed-form params
+    the SQL oracle predicts, including the exact byte length."""
+    docs = spark.createDataFrame([(i,) for i in range(40)], "doc_id long")
+    meta = {
+        r["asset_id"]: r
+        for r in extract_media_meta(synthesize_assets(docs)).collect()
+    }
+    assert len(meta) == 40
+    for aid in (0, 1, 2, 29, 33):
+        kind, w, h, fr = _params_for_key(aid)
+        r = meta[aid]
+        assert (r["width"], r["height"], r["n_frames"]) == (w, h, fr)
+        assert r["kind"] == {0: "image", 1: "audio", 2: "video"}[kind]
+        assert r["n_bytes"] == 11 + 32 * ((w * h * fr) // 32 % 64 + 1)
+
+
+def test_synthesize_assets_dup_groups(spark):
+    docs = spark.createDataFrame([(i,) for i in range(30)], "doc_id long")
+    out = {
+        r["keep_id"]: r["n_copies"]
+        for r in dedup_assets(synthesize_assets(docs, dup_groups=10)).collect()
+    }
+    assert out == {i: 3 for i in range(10)}
 
 
 def test_real_media_raises(spark):

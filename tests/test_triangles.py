@@ -88,3 +88,29 @@ def test_tc_csr_variant_agrees_with_join_variant(spark):
     a = triangle_count(dag).collect()[0]["n_triangles"]
     b = triangle_count_csr(dag, num_blocks=4).collect()[0]["n_triangles"]
     assert a == b
+
+
+def test_tc_sampled_matches_brute_on_sample(spark):
+    """Sampled estimator: the sampled-graph count must equal the brute
+    count over the deterministically-kept edges, the estimate is the
+    1/p^3 scale-up, and hash-based sampling is run-to-run stable."""
+    from graphminer_spark.algorithms.triangles import (
+        sample_edges_deterministic,
+        triangle_count_sampled,
+    )
+
+    edges = _random_graph(n=120, m=2500, seed=11)
+    # canonicalize as the engine's ingest does: src < dst, distinct
+    canon = sorted({(min(a, b), max(a, b)) for a, b in edges if a != b})
+    df = edges_df(spark, canon)
+    kept = {
+        (r["src"], r["dst"])
+        for r in sample_edges_deterministic(df).collect()
+    }
+    assert 0 < len(kept) < len(canon)
+    total, _ = brute_triangles(list(kept))
+    row = triangle_count_sampled(df).collect()[0]
+    assert row["sampled_triangles"] == total
+    assert row["est_triangles"] == total * 64
+    again = triangle_count_sampled(df).collect()[0]
+    assert tuple(row) == tuple(again)
