@@ -22,6 +22,12 @@ from graphminer_spark.algorithms.triangles import (
     triangle_count,
     triangle_count_sampled,
 )
+from graphminer_spark.algorithms.temporal import (
+    incremental_triangles,
+    temporal_edges,
+    temporal_tri_sql,
+    temporal_triangle_count,
+)
 from graphminer_spark.multimodal import (
     dedup_assets,
     extract_media_meta,
@@ -480,6 +486,24 @@ def _q_tc_approx(spark, sf_dir):
     return triangle_count_sampled(tpch_edges(spark, sf_dir))
 
 
+TEMPORAL_DELTA = 7200  # δ-window (seconds) for temporal triangles
+
+
+def _q_temporal_tri(spark, sf_dir):
+    return temporal_triangle_count(
+        temporal_edges(spark, sf_dir), delta=TEMPORAL_DELTA
+    )
+
+
+def _q_dyn_tri(spark, sf_dir):
+    edges = tpch_edges(spark, sf_dir)
+    key = F.md5(F.concat_ws(":", "src", "dst"))
+    # deterministic split: ~1/8 of edges arrive as the insert batch
+    return incremental_triangles(
+        edges.filter(key >= "2"), edges.filter(key < "2")
+    )
+
+
 MM_DUP_GROUPS = 100
 
 
@@ -567,6 +591,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tc_total": _q_tc_total,
         "tc_per_edge": _q_tc_per_edge,
         "tc_approx": _q_tc_approx,
+        "temporal_tri_count": _q_temporal_tri,
+        "dyn_tri_delta": _q_dyn_tri,
         "mm_media_meta": _q_mm_meta,
         "mm_frame_sample": _q_mm_frames,
         "mm_asset_dedup": _q_mm_dedup,
@@ -637,6 +663,24 @@ def oracle_sql() -> dict[str, str]:
             JOIN (SELECT src, dst FROM edges
                   WHERE md5(src::VARCHAR || ':' || dst::VARCHAR) < '4') s3
               ON s3.src = s1.dst AND s3.dst = s2.dst
+            """
+        ),
+        "temporal_tri_count": temporal_tri_sql(TEMPORAL_DELTA),
+        "dyn_tri_delta": graph_query(
+            """
+            SELECT (SELECT count(*) FROM edges
+                    WHERE md5(src::VARCHAR || ':' || dst::VARCHAR) < '2')
+                     AS n_delta_edges,
+                   count(*) AS n_new_triangles
+            FROM (
+              SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+              FROM edges e1
+              JOIN edges e2 ON e2.src = e1.src AND e2.dst > e1.dst
+              JOIN edges e3 ON e3.src = e1.dst AND e3.dst = e2.dst
+            )
+            WHERE md5(a::VARCHAR || ':' || b::VARCHAR) < '2'
+               OR md5(a::VARCHAR || ':' || c::VARCHAR) < '2'
+               OR md5(b::VARCHAR || ':' || c::VARCHAR) < '2'
             """
         ),
         "mm_media_meta": """
