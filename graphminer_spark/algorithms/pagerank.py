@@ -124,8 +124,30 @@ def pagerank(
             .agg(F.sum("share").alias("contrib"))
         )
         base = (1.0 - damping) / n + damping * dangling / n
+        if tol <= 0 and n_dangling == 0:
+            new_state = (
+                verts.join(contribs.hint("shuffle_hash"), "id", "left")
+                .select(
+                    "id",
+                    (
+                        F.lit(base)
+                        + F.lit(damping) * F.coalesce("contrib", F.lit(0.0))
+                    ).alias("rank"),
+                    "out_deg",
+                )
+            )
+            if it % lineage_every == 0 or it == max_iter:
+                state = ckpt.save(new_state, it, {"algo": "pagerank"})
+            else:
+                state = new_state
+            continue
+        # carry prev_rank inside the new state so the delta/dangling
+        # aggregate is one SCAN of the checkpointed state — no per-
+        # superstep state⋈prev join (each such join cost two exchanges,
+        # doubling superstep latency at low scale and shuffle volume at
+        # high scale)
         new_state = (
-            verts.join(contribs.hint("shuffle_hash"), "id", "left")
+            state.join(contribs.hint("shuffle_hash"), "id", "left")
             .select(
                 "id",
                 (
@@ -133,30 +155,17 @@ def pagerank(
                     + F.lit(damping) * F.coalesce("contrib", F.lit(0.0))
                 ).alias("rank"),
                 "out_deg",
+                F.col("rank").alias("prev_rank"),
             )
         )
-        prev = state
-        if tol <= 0 and n_dangling == 0:
-            if it % lineage_every == 0 or it == max_iter:
-                state = ckpt.save(new_state, it, {"algo": "pagerank"})
-            else:
-                state = new_state
-            continue
         state = ckpt.save(new_state, it, {"algo": "pagerank"})
-        row = (
-            state.alias("n")
-            .join(prev.alias("o"), "id")
-            .agg(
-                F.sum(F.abs(F.col("n.rank") - F.col("o.rank"))).alias("delta"),
-                F.coalesce(
-                    F.sum(
-                        F.when(F.col("n.out_deg") == 0, F.col("n.rank"))
-                    ),
-                    F.lit(0.0),
-                ).alias("dangling"),
-            )
-            .collect()[0]
-        )
+        row = state.agg(
+            F.sum(F.abs(F.col("rank") - F.col("prev_rank"))).alias("delta"),
+            F.coalesce(
+                F.sum(F.when(F.col("out_deg") == 0, F.col("rank"))),
+                F.lit(0.0),
+            ).alias("dangling"),
+        ).collect()[0]
         delta, dangling = float(row["delta"]), float(row["dangling"])
         deltas.append(delta)
         ckpt.log(it, {"algo": "pagerank", "delta": delta})
