@@ -59,26 +59,31 @@ def label_propagation(
                 F.col("label"), F.struct(F.col("cnt"), (-F.col("label")).alias("nl"))
             ).alias("new_label")
         )
-        new = (
-            labels.join(best, "id", "left")
-            .select("id", F.coalesce("new_label", F.col("label")).alias("label"))
-        )
-        # the changed-count join (one extra shuffle + action per
-        # superstep) is the convergence METRIC — in fixed-iteration
-        # mode it buys nothing, so it only runs when the caller asked
-        # to stop on stability (was ~1/3 of fixed-mode LP wall time)
+        # the changed-count is the convergence METRIC — in fixed-
+        # iteration mode it buys nothing, so it only runs when the
+        # caller asked to stop on stability. It reads the prev label
+        # carried INSIDE the saved state (one scan of the checkpoint),
+        # not a new⋈old join, which would both add two exchanges and
+        # recompute the superstep a second time before the save.
         if until_stable:
-            changed = (
-                new.alias("n")
-                .join(labels.alias("o"), "id")
-                .filter(F.col("n.label") != F.col("o.label"))
-                .count()
+            new = labels.join(best, "id", "left").select(
+                "id",
+                F.coalesce("new_label", F.col("label")).alias("label"),
+                F.col("label").alias("prev_label"),
             )
+            labels = ckpt.save(new, it, {"algo": "lp"})
+            changed = labels.filter(
+                F.col("label") != F.col("prev_label")
+            ).count()
             changed_hist.append(changed)
-            labels = ckpt.save(new, it, {"algo": "lp", "changed": changed})
+            ckpt.log(it, {"algo": "lp", "changed": changed})
             if changed == 0:
                 converged = True
                 break
         else:
+            new = labels.join(best, "id", "left").select(
+                "id", F.coalesce("new_label", F.col("label")).alias("label")
+            )
             labels = ckpt.save(new, it, {"algo": "lp"})
-    return LabelPropResult(labels, it, converged, changed_hist)
+    e.unpersist()
+    return LabelPropResult(labels.select("id", "label"), it, converged, changed_hist)

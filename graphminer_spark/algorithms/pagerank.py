@@ -176,6 +176,12 @@ def pagerank(
         # last iteration fell between durable checkpoints — persist it
         # (same-iteration re-save would overwrite the path being read)
         state = ckpt.save(state, it, {"algo": "pagerank", "final": True}, force=True)
+    # state is checkpoint-materialized (the loop saves at it==max_iter
+    # in the fixed-iteration path and every superstep in the tol path);
+    # release the superstep inputs so
+    # long-lived sessions (and 100 TB executors) don't accumulate them
+    verts.unpersist()
+    e.unpersist()
     return PageRankResult(state.select("id", "rank"), it, converged, deltas)
 
 
@@ -222,15 +228,24 @@ def pagerank_csr(
         np.add.at(sums, inv, share)
         return pd.DataFrame({"id": ids, "contrib": sums})
 
-    ranks = vertices.select("id", F.lit(1.0 / n).alias("rank"))
+    # has_out is folded into the rank state ONCE so the per-superstep
+    # dangling mass is a scan of the checkpointed ranks, not a
+    # left_anti join
+    has_out = csr.select(F.col("src").alias("id")).distinct().withColumn(
+        "has_out", F.lit(True)
+    )
+    ranks = (
+        vertices.select("id", F.lit(1.0 / n).alias("rank"))
+        .join(has_out, "id", "left")
+        .select("id", "rank", F.coalesce("has_out", F.lit(False)).alias("has_out"))
+    )
     ranks = ckpt.save(ranks, 0, {"algo": "pagerank_csr"})
-    has_out = csr.select(F.col("src").alias("id")).distinct()
     deltas: list[float] = []
     converged = False
     it = 0
     for it in range(1, max_iter + 1):
         dangling = (
-            ranks.join(has_out, "id", "left_anti")
+            ranks.filter(~F.col("has_out"))
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
             .collect()[0][0]
         )
@@ -242,26 +257,28 @@ def pagerank_csr(
         )
         contribs = partials.groupBy("id").agg(F.sum("contrib").alias("contrib"))
         base = (1.0 - damping) / n + damping * dangling / n
+        # carry prev_rank in the state: the L1-delta check is a single
+        # scan of the checkpointed ranks (same fusion as `pagerank`)
         new_ranks = (
-            vertices.select("id")
-            .join(contribs, "id", "left")
+            ranks.join(contribs, "id", "left")
             .select(
                 "id",
                 (
                     F.lit(base)
                     + F.lit(damping) * F.coalesce("contrib", F.lit(0.0))
                 ).alias("rank"),
+                "has_out",
+                F.col("rank").alias("prev_rank"),
             )
         )
-        delta = (
-            new_ranks.alias("n")
-            .join(ranks.alias("o"), "id")
-            .agg(F.sum(F.abs(F.col("n.rank") - F.col("o.rank"))))
-            .collect()[0][0]
-        )
+        ranks = ckpt.save(new_ranks, it, {"algo": "pagerank_csr"})
+        delta = ranks.agg(
+            F.sum(F.abs(F.col("rank") - F.col("prev_rank")))
+        ).collect()[0][0]
         deltas.append(float(delta))
-        ranks = ckpt.save(new_ranks, it, {"algo": "pagerank_csr", "delta": float(delta)})
+        ckpt.log(it, {"algo": "pagerank_csr", "delta": float(delta)})
         if delta < tol:
             converged = True
             break
-    return PageRankResult(ranks, it, converged, deltas)
+    csr.unpersist()
+    return PageRankResult(ranks.select("id", "rank"), it, converged, deltas)
