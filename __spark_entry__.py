@@ -64,7 +64,7 @@ from graphminer_spark.oracle_sql import (
     quality_sql,
     simhash_neardup_sql,
 )
-from graphminer_spark.algorithms.kcore import kcore
+from graphminer_spark.algorithms.kcore import core_numbers_hindex, kcore
 from graphminer_spark.algorithms.motifs import pattern_counts
 from graphminer_spark.algorithms.patterns import (
     clique_count,
@@ -109,7 +109,12 @@ from graphminer_spark.graph.bipartite import (
     butterfly_count,
 )
 from graphminer_spark.oracle_sql import MOTIF4_SQL
-from graphminer_spark.oracle_sql import ivf_ann_sql, kcore_sql, lsh_ann_sql
+from graphminer_spark.oracle_sql import (
+    coreness_hindex_sql,
+    ivf_ann_sql,
+    kcore_sql,
+    lsh_ann_sql,
+)
 from graphminer_spark.similarity import (
     embedding_neardup,
     ivf_ann,
@@ -263,6 +268,15 @@ def _q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = degrees(sym).count()
     k = max(2, (m // n) * 2 // 3)
     return kcore(sym, k=k)
+
+
+CORENESS_ROUNDS = 40  # oracle unroll; Spark fixpoint round count is
+# asserted < this in pytest (monotone iteration ⇒ generous unroll exact)
+
+
+def _q_coreness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = tpch_edges(spark, sf_dir, divisor=SPARSE_DIVISOR)
+    return core_numbers_hindex(symmetrize(edges, dedup=False))
 
 
 def _q_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -615,6 +629,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_label_freq": _q_label_freq,
         "graph_nlf": _q_nlf,
         "graph_kcore": _q_kcore,
+        "graph_coreness": _q_coreness,
         "cc_components": _q_cc,
         "cc_sizes": _q_cc_sizes,
         "lp_labels_2iter": _q_lp2,
@@ -756,6 +771,9 @@ def oracle_sql() -> dict[str, str]:
             "FROM sym GROUP BY 1, 2"
         ),
         "graph_kcore": kcore_sql(30, divisor=SPARSE_DIVISOR),
+        "graph_coreness": coreness_hindex_sql(
+            CORENESS_ROUNDS, divisor=SPARSE_DIVISOR
+        ),
         "cc_components": CC_SQL,
         "cc_sizes": (
             f"WITH _cc AS ({CC_SQL}) "

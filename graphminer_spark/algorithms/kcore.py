@@ -46,6 +46,66 @@ def kcore(
     return edges.select(F.col("src").alias("id")).distinct()
 
 
+def core_numbers_hindex(
+    sym_edges: DataFrame,
+    checkpointer: CheckpointManager | None = None,
+    max_iter: int = 200,
+) -> DataFrame:
+    """Coreness per vertex → ``(id, core)`` by distributed h-index
+    iteration (Lu et al., "Distributed k-core decomposition", and the
+    locality property of Montresor et al.): start from c(v) = deg(v)
+    and repeatedly set c(v) to the h-index of its neighbors' values —
+    the unique fixpoint is the coreness.
+
+    Scale shape (the reason this replaces the per-k peeling loop of
+    ``core_numbers`` at 100 TB): every round is one equi-join
+    (neighbor value fetch) + one (src, value) pre-aggregation + a
+    per-vertex window over DISTINCT neighbor values — a hub with 10^6
+    neighbors collapses to ≤ max-coreness window rows, so no
+    adjacency is ever materialized per row, and the number of rounds
+    is bounded by the value-decrease chain, not by max-coreness many
+    full peels.
+    """
+    ckpt = checkpointer or CheckpointManager(None)
+    from pyspark.sql import Window
+
+    edges = sym_edges.select("src", "dst")
+    c = (
+        edges.groupBy(F.col("src").alias("id"))
+        .agg(F.count("*").alias("core"))
+    )
+    c = ckpt.save(c, 0, {"algo": "coreness_hindex"})
+    for it in range(1, max_iter + 1):
+        vals = (
+            edges.join(c.select(F.col("id").alias("dst"), "core"), "dst")
+            .groupBy("src", "core")
+            .agg(F.count("*").alias("n"))
+        )
+        w = (
+            Window.partitionBy("src")
+            .orderBy(F.col("core").desc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        # h-index over distinct values: cum = #neighbors with value >=
+        # core; candidate h = min(core, cum); h-index = max candidate
+        h = (
+            vals.withColumn("cum", F.sum("n").over(w))
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.max(F.least("core", "cum")).alias("h"))
+        )
+        # h(v) can only decrease; carry prev inside the state so the
+        # convergence check is a scan (same fusion as pagerank/LP)
+        new_c = c.join(h, "id").select(
+            "id", F.col("h").alias("core"), F.col("core").alias("prev")
+        )
+        new_c = ckpt.save(new_c, it, {"algo": "coreness_hindex"})
+        changed = new_c.filter(F.col("core") != F.col("prev")).count()
+        c = new_c.select("id", "core")
+        if changed == 0:
+            break
+    return c
+
+
 def core_numbers(
     sym_edges: DataFrame, max_k: int = 64
 ) -> DataFrame:

@@ -117,6 +117,33 @@ def kcore_sql(rounds: int = 30, divisor: int = 60) -> str:
     )
 
 
+def coreness_hindex_sql(rounds: int = 40, divisor: int = 60) -> str:
+    """Coreness per vertex by unrolled h-index iteration (exact oracle
+    for ``algorithms.kcore.core_numbers_hindex``). Like ``kcore_sql``,
+    the iteration is a monotone fixpoint, so a generous unroll is exact
+    once it covers the true round count (asserted vs the Spark loop's
+    iteration count in pytest)."""
+    parts = [
+        graph_ctes(divisor),
+        "c0 AS MATERIALIZED (SELECT src AS id, count(*) AS core "
+        "FROM sym GROUP BY src)",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"v{i} AS (SELECT e.src, c.core, count(*) AS n "
+            f"FROM sym e JOIN c{i - 1} c ON c.id = e.dst "
+            f"GROUP BY e.src, c.core)"
+        )
+        parts.append(
+            f"c{i} AS MATERIALIZED (SELECT src AS id, "
+            f"max(least(core, cum))::BIGINT AS core FROM ("
+            f"SELECT src, core, sum(n) OVER (PARTITION BY src "
+            f"ORDER BY core DESC ROWS BETWEEN UNBOUNDED PRECEDING "
+            f"AND CURRENT ROW) AS cum FROM v{i}) GROUP BY src)"
+        )
+    return f"WITH {', '.join(parts)} SELECT id, core FROM c{rounds}"
+
+
 def _lp_step(prev: str, step: str) -> str:
     """One synchronous LP superstep: argmax neighbor-label count, ties
     to the smallest label (matches algorithms.labelprop)."""

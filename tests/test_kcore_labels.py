@@ -83,3 +83,57 @@ def test_kcore_sparse_graph_rounds_within_oracle_unroll(spark):
     n_core = core.count()
     assert 0 < n_core < n
     assert CountingCkpt.rounds <= 30
+
+
+def test_core_numbers_hindex_matches_peeling(spark):
+    """The h-index fixpoint must equal brute coreness on graphs with
+    varied structure (cliques + tails + random)."""
+    from graphminer_spark.algorithms.kcore import core_numbers_hindex
+
+    rng = random.Random(17)
+    for seed in (1, 2):
+        rng = random.Random(seed)
+        edges = sorted(
+            {
+                (min(a, b), max(a, b))
+                for a, b in (
+                    (rng.randrange(50), rng.randrange(50)) for _ in range(400)
+                )
+                if a != b
+            }
+        )
+        # graft a 6-clique with a pendant tail for a coreness spread
+        edges += [(100 + i, 100 + j) for i in range(6) for j in range(i + 1, 6)]
+        edges += [(105, 200), (200, 201)]
+        oracle = brute_core_numbers(edges)
+        sym = symmetrize(edges_df(spark, sorted(set(edges))), dedup=True)
+        got = {r["id"]: r["core"] for r in core_numbers_hindex(sym).collect()}
+        assert got == oracle, seed
+
+
+def test_coreness_hindex_rounds_within_oracle_unroll(spark):
+    """The graph_coreness oracle unrolls CORENESS_ROUNDS h-index
+    rounds; the Spark fixpoint on the sparse sf0.001 graph must
+    converge inside that bound and produce a non-trivial spread."""
+    from graphminer_spark.algorithms.kcore import core_numbers_hindex
+    from graphminer_spark.checkpoint import CheckpointManager
+    from graphminer_spark.graph.tpch_edges import SPARSE_DIVISOR, tpch_edges
+
+    import __spark_entry__ as entry_mod
+
+    edges = tpch_edges(spark, "/root/testdata/sf0.001", divisor=SPARSE_DIVISOR)
+    sym = symmetrize(edges, dedup=False).persist()
+
+    class CountingCkpt(CheckpointManager):
+        rounds = 0
+
+        def save(self, df, it, meta=None):
+            CountingCkpt.rounds = max(CountingCkpt.rounds, it)
+            return super().save(df, it, meta)
+
+    cn = core_numbers_hindex(sym, checkpointer=CountingCkpt(None))
+    cores = {r["core"] for r in cn.collect()}
+    assert len(cores) > 1
+    # the last round is the no-change confirmation; strict margin under
+    # the oracle unroll
+    assert CountingCkpt.rounds < entry_mod.CORENESS_ROUNDS
