@@ -107,3 +107,72 @@ def stream_windowed_counts(
         .queryName(query_name)
         .start()
     )
+
+
+def stream_dedup_events(
+    spark: SparkSession,
+    parquet_dir: str,
+    schema: str,
+    watermark: str = "2 hours",
+    query_name: str = "dedup_events",
+):
+    """Streaming exact dedup on ``event_id`` with bounded state:
+    ``dropDuplicates`` keyed on (event_id, ts) + a watermark lets the
+    engine EVICT seen-keys older than the watermark — the property
+    that makes streaming dedup possible at 100 TB/day (an unbounded
+    seen-set would OOM any cluster). First occurrence wins; exact
+    duplicates inside the watermark horizon are dropped."""
+    events = (
+        spark.readStream.schema(schema).parquet(parquet_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+    )
+    deduped = events.dropDuplicates(["event_id", "ts"])
+    return (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+
+
+def stream_enriched_events(
+    spark: SparkSession,
+    events_dir: str,
+    sessions_dir: str,
+    schema: str,
+    query_name: str = "enriched_events",
+):
+    """Stream-stream interval join: enrich each event with the session
+    marker the same user opened within the preceding hour. Both sides
+    carry watermarks and the join has a time-range predicate, so state
+    for either side is evicted once the watermark passes — the bounded-
+    state pattern for joining two unbounded streams."""
+    ev = (
+        spark.readStream.schema(schema).parquet(events_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "2 hours")
+        .select("event_id", "user_id", "ts", "event_type")
+    )
+    marks = (
+        spark.readStream.schema(schema).parquet(sessions_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("user_id").alias("m_user"),
+            F.col("ts").alias("m_ts"),
+            F.col("event_id").alias("mark_id"),
+        )
+    )
+    joined = ev.join(
+        marks,
+        (F.col("user_id") == F.col("m_user"))
+        & (F.col("m_ts") <= F.col("ts"))
+        & (F.col("m_ts") >= F.col("ts") - F.expr("INTERVAL 1 HOUR")),
+    ).select("event_id", "user_id", "ts", "event_type", "mark_id", "m_ts")
+    return (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )

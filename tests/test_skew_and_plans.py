@@ -167,3 +167,31 @@ def test_rectangle_count_hub_graph(spark):
                     brute += 1
     got = rectangle_count(edges_df(spark, edges)).collect()[0]["n_rectangles"]
     assert got == brute
+
+
+def test_new_ops_plans_stay_jvm_side(spark):
+    """Round-2 operators: the sampled-TC filter, temporal window join
+    and h-index coreness round must all run as JVM expressions — no
+    per-row Python (`BatchEvalPython`) anywhere in their plans."""
+    from graphminer_spark.algorithms.kcore import core_numbers_hindex
+    from graphminer_spark.algorithms.temporal import temporal_triangle_count
+    from graphminer_spark.algorithms.triangles import (
+        sample_edges_deterministic,
+    )
+    from graphminer_spark.graph.build import build_dag, symmetrize
+    from tests.conftest import edges_df
+
+    edges = edges_df(spark, [(0, 1), (0, 2), (1, 2), (2, 3)])
+    samp_plan = _plan(sample_edges_deterministic(edges))
+    assert "BatchEvalPython" not in samp_plan and "md5" in samp_plan
+
+    tedges = spark.createDataFrame(
+        [(0, 1, 5), (1, 2, 6), (0, 2, 7)], "src long, dst long, t long"
+    )
+    t_plan = _plan(temporal_triangle_count(tedges, delta=10))
+    assert "BatchEvalPython" not in t_plan
+
+    # one h-index round's plan (the full loop materializes per round)
+    sym = symmetrize(edges, dedup=False)
+    cn = core_numbers_hindex(sym, max_iter=1)
+    assert "BatchEvalPython" not in _plan(cn)

@@ -168,3 +168,64 @@ def test_stateful_session_stream(spark, tmp_path):
     # only session A closes (gap exceeded within the data); open
     # sessions for user 1B and user 2 remain in state
     assert got == [(1, 2, 3.0)]
+
+
+def test_stream_dedup_with_watermark(spark, tmp_path):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, base, 1, "a", 1.0, "{}"),
+        (1, base, 1, "a", 1.0, "{}"),  # exact duplicate event
+        (2, base + dt.timedelta(minutes=5), 1, "b", 2.0, "{}"),
+        (2, base + dt.timedelta(minutes=5), 2, "b", 2.0, "{}"),  # same id+ts
+    ]
+    df = spark.createDataFrame(rows, EVENTS_SCHEMA)
+    src = str(tmp_path / "dedup_src")
+    df.write.mode("overwrite").parquet(src)
+
+    from graphminer_spark.streaming.events import stream_dedup_events
+
+    q = stream_dedup_events(spark, src, EVENTS_SCHEMA, query_name="dd_test")
+    try:
+        q.processAllAvailable()
+        got = spark.sql("SELECT event_id FROM dd_test").collect()
+    finally:
+        q.stop()
+    assert sorted(r["event_id"] for r in got) == [1, 2]
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    events = [
+        (10, base + dt.timedelta(minutes=30), 1, "click", 1.0, "{}"),
+        (11, base + dt.timedelta(minutes=90), 1, "click", 1.0, "{}"),
+        (12, base + dt.timedelta(minutes=30), 2, "click", 1.0, "{}"),
+    ]
+    marks = [
+        (100, base, 1, "open", 0.0, "{}"),   # within 1h of event 10 only
+        (101, base + dt.timedelta(minutes=60), 1, "open", 0.0, "{}"),
+    ]
+    e_src, m_src = str(tmp_path / "ev"), str(tmp_path / "mk")
+    spark.createDataFrame(events, EVENTS_SCHEMA).write.parquet(e_src)
+    spark.createDataFrame(marks, EVENTS_SCHEMA).write.parquet(m_src)
+
+    from graphminer_spark.streaming.events import stream_enriched_events
+
+    q = stream_enriched_events(
+        spark, e_src, m_src, EVENTS_SCHEMA, query_name="ss_test"
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["event_id"], r["mark_id"])
+            for r in spark.sql("SELECT * FROM ss_test").collect()
+        }
+    finally:
+        q.stop()
+    # event 10 joins mark 100 (30 min earlier, in window); event 11
+    # joins only mark 101 (mark 100 is 90 min earlier — outside the
+    # 1-hour window); user-2 event matches nothing
+    assert got == {(10, 100), (11, 101)}
