@@ -15,7 +15,11 @@ from pyspark.sql import functions as F
 
 from graphminer_spark.algorithms.components import connected_components
 from graphminer_spark.algorithms.labelprop import label_propagation
-from graphminer_spark.algorithms.pagerank import pagerank, pagerank_csr
+from graphminer_spark.algorithms.pagerank import (
+    pagerank,
+    pagerank_csr,
+    personalized_pagerank,
+)
 from graphminer_spark.algorithms.triangles import (
     clique4_count,
     per_edge_triangles,
@@ -61,6 +65,7 @@ from graphminer_spark.oracle_sql import (
     lsh_neardup_sql,
     minhash_sql,
     pagerank_sql,
+    ppr_sql,
     quality_sql,
     simhash_neardup_sql,
 )
@@ -300,6 +305,18 @@ def _q_lp2(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_pagerank5(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges, _, verts = _graph_vertices(spark, sf_dir)
     res = pagerank(edges, verts, tol=0.0, max_iter=5)
+    return res.ranks.select(
+        "id", F.format_string("%.6f", F.col("rank")).alias("rank_s")
+    )
+
+
+PPR_SOURCE_MOD = 50  # teleport set: ids divisible by 50 (~2% of verts)
+
+
+def _q_ppr5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges, _, verts = _graph_vertices(spark, sf_dir)
+    sources = verts.filter(F.col("id") % PPR_SOURCE_MOD == 0)
+    res = personalized_pagerank(edges, verts, sources, n_iter=5)
     return res.ranks.select(
         "id", F.format_string("%.6f", F.col("rank")).alias("rank_s")
     )
@@ -634,6 +651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_sizes": _q_cc_sizes,
         "lp_labels_2iter": _q_lp2,
         "pagerank_5iter": _q_pagerank5,
+        "ppr_5iter": _q_ppr5,
         "pagerank_5iter_csr": _q_pagerank5_csr,
     }
 
@@ -781,6 +799,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "lp_labels_2iter": lp_sql(2),
         "pagerank_5iter": pagerank_sql(5),
+        "ppr_5iter": ppr_sql(5, mod=PPR_SOURCE_MOD),
         "pagerank_5iter_csr": pagerank_sql(5),
         "docs_exact_dedup": EXACT_DEDUP_SQL,
         "docs_token_count": TOKEN_COUNT_SQL,

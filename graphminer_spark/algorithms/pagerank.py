@@ -185,6 +185,81 @@ def pagerank(
     return PageRankResult(state.select("id", "rank"), it, converged, deltas)
 
 
+def personalized_pagerank(
+    edges: DataFrame,
+    vertices: DataFrame,
+    sources: DataFrame,
+    damping: float = 0.85,
+    n_iter: int = 5,
+    checkpointer: CheckpointManager | None = None,
+) -> PageRankResult:
+    """Personalized PageRank: teleport (and dangling mass) return to
+    the ``sources(id)`` set instead of the uniform distribution —
+    rank' (v) = (1−d)·1[v∈S]/|S| + d·(Σ in-contribs + dangling·1[v∈S]/|S|).
+
+    The related-pages / seeded-relevance primitive for link graphs
+    (Page et al. §6 "personalized" vector; Jeh & Widom WWW'03). Same
+    superstep plan as ``pagerank`` — the source indicator is folded
+    into the persisted vertex state once, so personalization adds NO
+    join: the teleport term is a per-row expression.
+    """
+    spark = edges.sparkSession
+    ckpt = checkpointer or CheckpointManager(None)
+    sflag = sources.select("id").withColumn("s", F.lit(1.0))
+    verts = (
+        _prepare(edges, vertices)
+        .join(sflag, "id", "left")
+        .select("id", "out_deg", F.coalesce("s", F.lit(0.0)).alias("s"))
+        .repartition("id")
+        .persist()
+    )
+    ns = verts.agg(F.sum("s")).collect()[0][0]
+    if not ns:
+        raise ValueError("personalized_pagerank needs a non-empty source set")
+    e = edges.select("src", "dst").repartition("src").persist()
+    e.count()
+
+    state = verts.select(
+        "id", (F.col("s") / ns).alias("rank"), "out_deg", "s"
+    )
+    state = ckpt.save(state, 0, {"algo": "ppr"})
+    for it in range(1, n_iter + 1):
+        dangling = (
+            state.filter(F.col("out_deg") == 0)
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+            .collect()[0][0]
+        )
+        contribs = (
+            state.filter(F.col("out_deg") > 0)
+            .select(
+                F.col("id").alias("src"),
+                (F.col("rank") / F.col("out_deg")).alias("share"),
+            )
+            .join(e, "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("share").alias("contrib"))
+        )
+        # teleport+dangling return ONLY to sources: a per-row scalar
+        # multiple of the s indicator — no extra join for personalization
+        back = (1.0 - damping) / ns + damping * dangling / ns
+        state = ckpt.save(
+            state.join(contribs.hint("shuffle_hash"), "id", "left").select(
+                "id",
+                (
+                    F.lit(back) * F.col("s")
+                    + F.lit(damping) * F.coalesce("contrib", F.lit(0.0))
+                ).alias("rank"),
+                "out_deg",
+                "s",
+            ),
+            it,
+            {"algo": "ppr"},
+        )
+    verts.unpersist()
+    e.unpersist()
+    return PageRankResult(state.select("id", "rank"), n_iter, False, [])
+
+
 # ------------------------------------------------------------------ CSR path
 
 

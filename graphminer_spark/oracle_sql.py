@@ -215,6 +215,47 @@ def pagerank_sql(n_iter: int, damping: float = 0.85, decimals: int = 6) -> str:
     )
 
 
+def ppr_sql(
+    n_iter: int, mod: int = 50, damping: float = 0.85, decimals: int = 6
+) -> str:
+    """Unrolled personalized PageRank (teleport set = ids ≡ 0 mod
+    ``mod``): oracle for ``algorithms.pagerank.personalized_pagerank``."""
+    parts = [
+        GRAPH_CTES,
+        f"sv AS (SELECT id, (CASE WHEN id % {mod} = 0 THEN 1.0 ELSE 0.0 END) AS s FROM deg)",
+        "ns AS (SELECT sum(s) AS n FROM sv)",
+        "od AS (SELECT src AS id, cast(count(*) AS double) AS out_deg FROM edges GROUP BY src)",
+        "pr0 AS (SELECT id, s / ns.n AS rank, s FROM sv CROSS JOIN ns)",
+    ]
+    for k in range(1, n_iter + 1):
+        prev, step = f"pr{k - 1}", f"pr{k}"
+        parts.append(
+            f"""
+dang_{step} AS (
+  SELECT coalesce(sum(r.rank), 0.0) AS mass
+  FROM {prev} r LEFT JOIN od ON od.id = r.id WHERE od.out_deg IS NULL
+),
+contrib_{step} AS (
+  SELECT e.dst AS id, sum(r.rank / od.out_deg) AS c
+  FROM edges e JOIN {prev} r ON r.id = e.src JOIN od ON od.id = e.src
+  GROUP BY e.dst
+),
+{step} AS (
+  SELECT v.id,
+         ((1.0 - {damping}) / ns.n + {damping} * d.mass / ns.n) * v.s
+           + {damping} * coalesce(c.c, 0.0) AS rank,
+         v.s
+  FROM sv v CROSS JOIN ns CROSS JOIN dang_{step} d
+  LEFT JOIN contrib_{step} c ON c.id = v.id
+)
+""".strip()
+        )
+    return (
+        f"WITH {', '.join(parts)} "
+        f"SELECT id, printf('%.{decimals}f', rank) AS rank_s FROM pr{n_iter}"
+    )
+
+
 # ------------------------------------------------------------- documents
 
 # shared CTEs over the documents table: words → distinct 3-gram shingles

@@ -172,3 +172,38 @@ def test_lp_two_cliques_converges(spark):
     labels = {r["id"]: r["label"] for r in res.labels.collect()}
     assert set(labels[i] for i in range(5)) == {0}
     assert set(labels[i] for i in range(5, 10)) == {5}
+
+
+def test_personalized_pagerank_semantics(spark):
+    """PPR invariants: mass conservation, zero rank on components
+    unreachable from the source set, and agreement with a dense numpy
+    PPR power iteration."""
+    import numpy as np
+
+    from graphminer_spark.algorithms.pagerank import personalized_pagerank
+
+    # component A: 0-1-2 path + dangling 2; component B: 3<->4 (no sources)
+    edges = [(0, 1), (1, 2), (3, 4), (4, 3)]
+    n, n_iter, d = 5, 8, 0.85
+    verts = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    srcs = spark.createDataFrame([(0,)], "id long")
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    res = personalized_pagerank(edf, verts, srcs, damping=d, n_iter=n_iter)
+    got = {r["id"]: r["rank"] for r in res.ranks.collect()}
+
+    # dense reference
+    s = np.zeros(n); s[0] = 1.0
+    out_deg = np.zeros(n)
+    for a, _ in edges:
+        out_deg[a] += 1
+    r = s.copy()
+    for _ in range(n_iter):
+        contrib = np.zeros(n)
+        for a, b in edges:
+            contrib[b] += r[a] / out_deg[a]
+        dangling = r[out_deg == 0].sum()
+        r = (1 - d) * s + d * (contrib + dangling * s)
+    for i in range(n):
+        assert abs(got[i] - r[i]) < 1e-12, i
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    assert got[3] == 0.0 and got[4] == 0.0
