@@ -117,3 +117,35 @@ def test_tc_requires_canonical_edges(spark):
         for r in per_edge_triangles(canon, dag).collect()
     }
     assert pe == {(3, 10): 1, (3, 7): 1, (7, 10): 1, (3, 99): 0}
+
+
+def test_textpipe_job_end_to_end(spark, tmp_path):
+    """jobs/textpipe_job.py stage composition: stats cover every doc,
+    near-dup drops are consistent with the pair table, survivors +
+    drops partition the corpus."""
+    import sys
+
+    sys.modules.pop("jobs.textpipe_job", None)
+    from jobs.textpipe_job import main
+
+    out = str(tmp_path / "tp")
+    rc = main(
+        [
+            "--docs", "/root/testdata/sf0.001/documents.parquet",
+            "--out", out,
+            "--stages", "quality,dedup,simhash",
+        ]
+    )
+    assert rc == 0
+    n_docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).count()
+    stats = spark.read.parquet(f"{out}/doc_stats")
+    assert stats.count() == n_docs
+    assert {"n_tokens", "pred_lang", "content_md5"} <= set(stats.columns)
+    pairs = spark.read.parquet(f"{out}/dup_pairs")
+    keep = spark.read.parquet(f"{out}/keep_docs")
+    dropped = {r["b"] for r in pairs.select("b").distinct().collect()}
+    kept = {r["doc_id"] for r in keep.collect()}
+    assert len(kept) == n_docs - len(dropped)
+    assert not (kept & dropped)

@@ -1,6 +1,7 @@
 """Parallelism-invariance check (FIXTURES.md §5 / north rule).
 
-Runs CC, LP, per-edge TC and PageRank at two parallelism levels in
+Runs CC, LP, per-edge TC, PageRank, h-index coreness and sampled TC
+at two parallelism levels in
 separate JVMs and asserts: bitwise-identical integer results (CC/LP/TC)
 and allclose(1e-6) PageRank. Prints one JSON line per level plus a
 final verdict. Usage: ``python tools/check_determinism.py [sf_dir]``.
@@ -25,6 +26,8 @@ from graphminer_spark.algorithms.triangles import per_edge_triangles
 from graphminer_spark.algorithms.components import connected_components
 from graphminer_spark.algorithms.labelprop import label_propagation
 from graphminer_spark.algorithms.pagerank import pagerank
+from graphminer_spark.algorithms.kcore import core_numbers_hindex
+from graphminer_spark.algorithms.triangles import triangle_count_sampled
 
 spark = get_spark("determinism", cores=%(cores)d, shuffle_partitions=%(cores)d)
 sf = %(sf_dir)r
@@ -47,6 +50,12 @@ out["lp"] = sorted(
 out["pr"] = sorted(
     (r["id"], r["rank"]) for r in pagerank(edges, verts, tol=1e-8).ranks.collect()
 )
+out["coreness"] = sorted(
+    (r["id"], r["core"]) for r in core_numbers_hindex(sym).collect()
+)
+out["tc_approx"] = sorted(
+    tuple(r) for r in triangle_count_sampled(edges).collect()
+)
 print(json.dumps(out))
 """
 
@@ -63,7 +72,7 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     a, b = run(8, sf_dir), run(32, sf_dir)
     ok = True
-    for key in ("tc", "cc", "lp"):
+    for key in ("tc", "cc", "lp", "coreness", "tc_approx"):
         same = a[key] == b[key]
         ok &= same
         print(f"{key}: bitwise identical across local[8]/local[32]: {same}")
