@@ -66,6 +66,8 @@ from graphminer_spark.oracle_sql import (
     minhash_sql,
     pagerank_sql,
     ppr_sql,
+    hits_sql,
+    CLUSTERING_SQL,
     quality_sql,
     simhash_neardup_sql,
 )
@@ -308,6 +310,27 @@ def _q_pagerank5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.ranks.select(
         "id", F.format_string("%.6f", F.col("rank")).alias("rank_s")
     )
+
+
+from graphminer_spark.algorithms.hits import (
+    clustering_coefficient,
+    hits,
+)
+
+
+def _q_hits5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges, _, verts = _graph_vertices(spark, sf_dir)
+    out = hits(edges, verts, n_iter=5)
+    return out.select(
+        "id",
+        F.format_string("%.6f", F.col("hub")).alias("hub_s"),
+        F.format_string("%.6f", F.col("auth")).alias("auth_s"),
+    )
+
+
+def _q_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = tpch_edges(spark, sf_dir)
+    return clustering_coefficient(edges, build_dag(edges))
 
 
 PPR_SOURCE_MOD = 50  # teleport set: ids divisible by 50 (~2% of verts)
@@ -652,6 +675,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lp_labels_2iter": _q_lp2,
         "pagerank_5iter": _q_pagerank5,
         "ppr_5iter": _q_ppr5,
+        "hits_5iter": _q_hits5,
+        "graph_clustering": _q_clustering,
         "pagerank_5iter_csr": _q_pagerank5_csr,
     }
 
@@ -800,6 +825,8 @@ def oracle_sql() -> dict[str, str]:
         "lp_labels_2iter": lp_sql(2),
         "pagerank_5iter": pagerank_sql(5),
         "ppr_5iter": ppr_sql(5, mod=PPR_SOURCE_MOD),
+        "hits_5iter": hits_sql(5),
+        "graph_clustering": CLUSTERING_SQL,
         "pagerank_5iter_csr": pagerank_sql(5),
         "docs_exact_dedup": EXACT_DEDUP_SQL,
         "docs_token_count": TOKEN_COUNT_SQL,

@@ -1,0 +1,110 @@
+"""HITS (hubs & authorities) and local clustering coefficient.
+
+Link-graph companions to PageRank (Kleinberg JACM'99): authority =
+in-sum of hub scores, hub = out-sum of authority scores, L1-normalized
+each half-step. Same superstep shape as ``pagerank`` — one equi-join +
+one aggregate per half-step over the persisted edge table — so the
+plan scales identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from graphminer_spark.checkpoint import CheckpointManager
+
+
+def hits(
+    edges: DataFrame,
+    vertices: DataFrame,
+    n_iter: int = 5,
+    checkpointer: CheckpointManager | None = None,
+) -> DataFrame:
+    """``(id, hub, auth)`` after ``n_iter`` HITS iterations over the
+    directed ``edges(src, dst)``; both score vectors L1-normalize to
+    1.0 every half-step (the convergent formulation)."""
+    ckpt = checkpointer or CheckpointManager(None)
+    verts = vertices.select("id").repartition("id").persist()
+    n = verts.count()
+    e = edges.select("src", "dst").persist()
+    e.count()
+
+    state = verts.select(
+        "id", F.lit(1.0 / n).alias("hub"), F.lit(1.0 / n).alias("auth")
+    )
+    state = ckpt.save(state, 0, {"algo": "hits"})
+    for it in range(1, n_iter + 1):
+        auth_raw = (
+            e.join(
+                state.select(F.col("id").alias("src"), "hub"), "src"
+            )
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("hub").alias("a_raw"))
+        )
+        a_sum = auth_raw.agg(F.sum("a_raw")).collect()[0][0] or 1.0
+        with_auth = (
+            state.select("id", "hub")
+            .join(auth_raw, "id", "left")
+            .select(
+                "id",
+                "hub",
+                (F.coalesce("a_raw", F.lit(0.0)) / a_sum).alias("auth"),
+            )
+        )
+        hub_raw = (
+            e.join(
+                with_auth.select(F.col("id").alias("dst"), "auth"), "dst"
+            )
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.sum("auth").alias("h_raw"))
+        )
+        h_sum = hub_raw.agg(F.sum("h_raw")).collect()[0][0] or 1.0
+        state = ckpt.save(
+            with_auth.join(hub_raw, "id", "left").select(
+                "id",
+                (F.coalesce("h_raw", F.lit(0.0)) / h_sum).alias("hub"),
+                "auth",
+            ),
+            it,
+            {"algo": "hits"},
+        )
+    verts.unpersist()
+    e.unpersist()
+    return state
+
+
+def clustering_coefficient(
+    canonical_edges: DataFrame, dag: DataFrame
+) -> DataFrame:
+    """Per-vertex triangle count and local clustering coefficient in
+    basis points: ``lcc_bp = (10000 · 2 · tri(v)) // (deg(v)·(deg(v)−1))``
+    for vertices with deg ≥ 2 (integer arithmetic → exact cross-engine
+    agreement). tri(v) derives from the shared triangle enumeration;
+    no per-vertex adjacency materialization.
+    """
+    from graphminer_spark.algorithms.triangles import enumerate_triangles
+    from graphminer_spark.graph.build import degrees, symmetrize
+
+    deg = degrees(symmetrize(canonical_edges, dedup=False))
+    tri = enumerate_triangles(dag)
+    per_v = (
+        tri.select(F.col("u").alias("id"))
+        .unionByName(tri.select(F.col("v").alias("id")))
+        .unionByName(tri.select(F.col("w").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("tri_cnt"))
+    )
+    return (
+        deg.filter(F.col("deg") >= 2)
+        .join(per_v, "id", "left")
+        .select(
+            "id",
+            F.coalesce("tri_cnt", F.lit(0)).alias("tri_cnt"),
+            # `div` = exact BIGINT division (matches DuckDB's `//`);
+            # float division + floor would risk off-by-one at the ulp
+            F.expr(
+                "(20000 * coalesce(tri_cnt, 0)) div (deg * (deg - 1))"
+            ).alias("lcc_bp"),
+        )
+    )

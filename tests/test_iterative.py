@@ -207,3 +207,65 @@ def test_personalized_pagerank_semantics(spark):
         assert abs(got[i] - r[i]) < 1e-12, i
     assert abs(sum(got.values()) - 1.0) < 1e-9
     assert got[3] == 0.0 and got[4] == 0.0
+
+
+def test_hits_vs_dense(spark):
+    """HITS matches a dense numpy power iteration with the same L1
+    half-step normalization."""
+    import numpy as np
+
+    from graphminer_spark.algorithms.hits import hits
+
+    edges = [(0, 1), (0, 2), (1, 2), (3, 2), (2, 0)]
+    n, iters = 4, 5
+    verts = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["id"]: (r["hub"], r["auth"]) for r in hits(edf, verts, iters).collect()}
+
+    A = np.zeros((n, n))
+    for a, b in edges:
+        A[a, b] = 1.0
+    h = np.full(n, 1.0 / n)
+    a = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        a = A.T @ h
+        a = a / a.sum()
+        h = A @ a
+        h = h / h.sum()
+    for i in range(n):
+        assert abs(got[i][0] - h[i]) < 1e-12
+        assert abs(got[i][1] - a[i]) < 1e-12
+
+
+def test_clustering_coefficient_vs_brute(spark):
+    import itertools
+    import random as _random
+
+    from graphminer_spark.algorithms.hits import clustering_coefficient
+    from graphminer_spark.graph.build import build_dag
+    from tests.conftest import edges_df
+
+    rng = _random.Random(23)
+    canon = sorted(
+        {
+            (min(a, b), max(a, b))
+            for a, b in ((rng.randrange(40), rng.randrange(40)) for _ in range(300))
+            if a != b
+        }
+    )
+    nbrs: dict[int, set[int]] = {}
+    for a, b in canon:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    df = edges_df(spark, canon)
+    got = {
+        r["id"]: (r["tri_cnt"], r["lcc_bp"])
+        for r in clustering_coefficient(df, build_dag(df)).collect()
+    }
+    for v, ns in nbrs.items():
+        d = len(ns)
+        if d < 2:
+            assert v not in got
+            continue
+        t = sum(1 for x, y in itertools.combinations(sorted(ns), 2) if y in nbrs[x])
+        assert got[v] == (t, (20000 * t) // (d * (d - 1))), v
