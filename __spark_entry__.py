@@ -41,6 +41,7 @@ from graphminer_spark.multimodal import (
 from graphminer_spark.graph.build import (
     build_dag,
     csr_blocks,
+    degree_assortativity,
     degrees,
     symmetrize,
 )
@@ -331,6 +332,13 @@ def _q_hits5(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = tpch_edges(spark, sf_dir)
     return clustering_coefficient(edges, build_dag(edges))
+
+
+def _q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sym = symmetrize(tpch_edges(spark, sf_dir), dedup=False)
+    return degree_assortativity(sym).select(
+        F.format_string("%.6f", F.col("r")).alias("r_s")
+    )
 
 
 PPR_SOURCE_MOD = 50  # teleport set: ids divisible by 50 (~2% of verts)
@@ -677,6 +685,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppr_5iter": _q_ppr5,
         "hits_5iter": _q_hits5,
         "graph_clustering": _q_clustering,
+        "graph_assortativity": _q_assortativity,
         "pagerank_5iter_csr": _q_pagerank5_csr,
     }
 
@@ -827,6 +836,20 @@ def oracle_sql() -> dict[str, str]:
         "ppr_5iter": ppr_sql(5, mod=PPR_SOURCE_MOD),
         "hits_5iter": hits_sql(5),
         "graph_clustering": CLUSTERING_SQL,
+        "graph_assortativity": graph_query(
+            """
+            SELECT printf('%.6f', (n * sjk - s1 * s1)
+                          / cast(n * s2 - s1 * s1 AS double)) AS r_s
+            FROM (
+              SELECT count(*) AS n, sum(dj.deg) AS s1,
+                     sum(dj.deg * dj.deg) AS s2,
+                     sum(dj.deg * dk.deg) AS sjk
+              FROM sym s
+              JOIN deg dj ON dj.id = s.src
+              JOIN deg dk ON dk.id = s.dst
+            )
+            """
+        ),
         "pagerank_5iter_csr": pagerank_sql(5),
         "docs_exact_dedup": EXACT_DEDUP_SQL,
         "docs_token_count": TOKEN_COUNT_SQL,

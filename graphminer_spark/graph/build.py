@@ -148,3 +148,36 @@ def salt_edges(edges: DataFrame, hubs: DataFrame, num_salts: int) -> DataFrame:
         )
         .drop("_is_hub")
     )
+
+
+def degree_assortativity(sym_edges: DataFrame) -> DataFrame:
+    """Degree assortativity coefficient (Newman 2002) over the
+    symmetric edge table → one row ``(r: double)``.
+
+    Computed from three INTEGER sums over directed edge endpoints
+    (n = 2m rows): r = (n·Σjk − (Σj)²) / (n·Σj² − (Σj)²) with
+    j = deg(src), k = deg(dst) — by symmetry the j and k moments
+    coincide. Integer sums agree exactly across engines; the single
+    final double division is bit-reproducible. Two broadcast-size
+    degree joins + one global aggregate; no extra shuffle beyond the
+    degree computation itself.
+    """
+    deg = degrees(sym_edges)
+    j = deg.select(F.col("id").alias("src"), F.col("deg").alias("dj"))
+    k = deg.select(F.col("id").alias("dst"), F.col("deg").alias("dk"))
+    sums = (
+        sym_edges.join(j, "src")
+        .join(k, "dst")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("dj").alias("s1"),
+            F.sum(F.col("dj") * F.col("dj")).alias("s2"),
+            F.sum(F.col("dj") * F.col("dk")).alias("sjk"),
+        )
+    )
+    return sums.select(
+        (
+            (F.col("n") * F.col("sjk") - F.col("s1") * F.col("s1"))
+            / (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1"))
+        ).alias("r")
+    )

@@ -114,3 +114,27 @@ def test_tc_sampled_matches_brute_on_sample(spark):
     assert row["est_triangles"] == total * 64
     again = triangle_count_sampled(df).collect()[0]
     assert tuple(row) == tuple(again)
+
+
+def test_degree_assortativity_vs_numpy(spark):
+    import numpy as np
+
+    from graphminer_spark.graph.build import degree_assortativity, symmetrize
+
+    edges = _random_graph(n=50, m=400, seed=13)
+    canon = sorted({(min(a, b), max(a, b)) for a, b in edges if a != b})
+    df = edges_df(spark, canon)
+    got = degree_assortativity(symmetrize(df, dedup=False)).collect()[0]["r"]
+
+    deg: dict[int, int] = {}
+    for a, b in canon:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    js = np.array(
+        [deg[a] for a, b in canon] + [deg[b] for a, b in canon], dtype=float
+    )
+    ks = np.array(
+        [deg[b] for a, b in canon] + [deg[a] for a, b in canon], dtype=float
+    )
+    want = np.corrcoef(js, ks)[0, 1]
+    assert abs(got - want) < 1e-9
