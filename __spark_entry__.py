@@ -130,6 +130,7 @@ from graphminer_spark.similarity import (
     lsh_ann,
 )
 from graphminer_spark.streaming.events import (
+    funnel_counts,
     sessionize,
     top_users_by_value,
     windowed_counts,
@@ -149,6 +150,7 @@ from graphminer_spark.textops.quality import (
     language_id,
     quality_score,
     token_count,
+    top_terms,
 )
 
 EMB_DIM = 64
@@ -620,6 +622,14 @@ def _q_ev_sessions(spark, sf_dir):
     )
 
 
+def _q_top_terms(spark, sf_dir):
+    return top_terms(_docs(spark, sf_dir), k=3)
+
+
+def _q_ev_funnel(spark, sf_dir):
+    return funnel_counts(_events(spark, sf_dir))
+
+
 def _q_ev_top_users(spark, sf_dir):
     return top_users_by_value(_events(spark, sf_dir), k=10)
 
@@ -632,6 +642,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_windowed_counts": _q_ev_windows,
         "ev_sessions": _q_ev_sessions,
         "ev_top_users": _q_ev_top_users,
+        "ev_funnel": _q_ev_funnel,
+        "docs_top_terms": _q_top_terms,
         "docs_exact_dedup": _q_exact_dedup,
         "docs_token_count": _q_token_count,
         "docs_quality": _q_quality,
@@ -852,6 +864,34 @@ def oracle_sql() -> dict[str, str]:
         ),
         "pagerank_5iter_csr": pagerank_sql(5),
         "docs_exact_dedup": EXACT_DEDUP_SQL,
+        "docs_top_terms": """
+            WITH words AS (
+              SELECT doc_id, UNNEST(string_split(text, ' ')) AS word
+              FROM documents
+            ),
+            tf AS (SELECT doc_id, word, count(*) AS tf FROM words GROUP BY 1, 2),
+            dfq AS (SELECT word, count(DISTINCT doc_id) AS df FROM words GROUP BY 1),
+            r AS (
+              SELECT t.doc_id, t.word, t.tf,
+                     row_number() OVER (PARTITION BY t.doc_id
+                       ORDER BY t.tf DESC, d.df ASC, t.word ASC) AS rank
+              FROM tf t JOIN dfq d ON d.word = t.word
+            )
+            SELECT doc_id, word, tf, rank::INT AS rank FROM r WHERE rank <= 3
+        """,
+        "ev_funnel": """
+            WITH v AS (SELECT user_id, min(ts) AS t FROM events
+                       WHERE event_type = 'view' GROUP BY 1),
+            c AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+                  JOIN v ON v.user_id = e.user_id
+                  WHERE e.event_type = 'click' AND e.ts > v.t GROUP BY 1),
+            p AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+                  JOIN c ON c.user_id = e.user_id
+                  WHERE e.event_type = 'purchase' AND e.ts > c.t GROUP BY 1)
+            SELECT (SELECT count(*) FROM v) AS n_view,
+                   (SELECT count(*) FROM c) AS n_view_click,
+                   (SELECT count(*) FROM p) AS n_view_click_purchase
+        """,
         "docs_token_count": TOKEN_COUNT_SQL,
         "docs_quality": quality_sql(STOPWORDS),
         "docs_langid": langid_sql(LANG_MARKERS),

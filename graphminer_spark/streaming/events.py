@@ -176,3 +176,31 @@ def stream_enriched_events(
         .queryName(query_name)
         .start()
     )
+
+
+def funnel_counts(events: DataFrame, stages: tuple[str, ...] = ("view", "click", "purchase")) -> DataFrame:
+    """Ordered funnel: users whose first occurrence of each stage
+    strictly follows the previous stage's first occurrence → one row
+    of per-stage completion counts ``(n_<stage1>, n_<stage1>_<stage2>,
+    ...)``. Each stage is a filter + min-aggregate + join keyed on
+    user_id — no window over the full event stream, so the plan is a
+    chain of co-keyed shuffles that scales with users, not events."""
+    prev = None
+    counts = []
+    for i, stage in enumerate(stages):
+        cur = (
+            events.filter(F.col("event_type") == stage)
+            .select("user_id", "ts")
+        )
+        if prev is not None:
+            cur = cur.join(prev, "user_id").filter(
+                F.col("ts") > F.col("t_prev")
+            )
+        cur = cur.groupBy("user_id").agg(F.min("ts").alias("t_prev"))
+        name = "n_" + "_".join(stages[: i + 1])
+        counts.append(cur.agg(F.count("*").alias(name)))
+        prev = cur
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.crossJoin(c)
+    return out

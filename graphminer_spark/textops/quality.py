@@ -130,3 +130,33 @@ def fingerprint(docs: DataFrame, k: int = 4) -> DataFrame:
     return base.join(sk, "doc_id", "left").select(
         "doc_id", "content_md5", F.coalesce("sketch", F.lit("")).alias("sketch")
     )
+
+
+def top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
+    """Per-document characteristic terms: rank words by (tf desc,
+    corpus-df asc, word asc) and keep the top ``k`` →
+    ``(doc_id, word, tf, rank)``.
+
+    The TF-IDF idea with an integer-only ranking (document frequency
+    replaces the idf logarithm): floating-point log differs at the ulp
+    between engines, while (tf, df, word) ordering is exact — and at
+    100 TB it is also one shuffle cheaper (no per-term float math,
+    same two aggregations)."""
+    from pyspark.sql import Window
+
+    words = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    )
+    tf = words.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    df_ = words.groupBy("word").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("word").asc()
+    )
+    return (
+        tf.join(df_, "word")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "word", "tf", F.col("rank").cast("int").alias("rank"))
+    )

@@ -229,3 +229,28 @@ def test_stream_stream_interval_join(spark, tmp_path):
     # joins only mark 101 (mark 100 is 90 min earlier — outside the
     # 1-hour window); user-2 event matches nothing
     assert got == {(10, 100), (11, 101)}
+
+
+def test_funnel_ordering_semantics(spark):
+    import datetime as dt
+
+    from graphminer_spark.streaming.events import funnel_counts
+
+    base = dt.datetime(2024, 1, 1)
+
+    def ev(i, minutes, user, etype):
+        return (i, base + dt.timedelta(minutes=minutes), user, etype, 1.0, "{}")
+
+    rows = [
+        # user 1: view -> click -> purchase (completes)
+        ev(1, 0, 1, "view"), ev(2, 10, 1, "click"), ev(3, 20, 1, "purchase"),
+        # user 2: click BEFORE first view -> click stage not completed
+        ev(4, 0, 2, "click"), ev(5, 10, 2, "view"),
+        # user 3: view -> click, purchase before click -> no purchase stage
+        ev(6, 0, 3, "purchase"), ev(7, 5, 3, "view"), ev(8, 10, 3, "click"),
+        # user 4: never views
+        ev(9, 0, 4, "purchase"),
+    ]
+    df = spark.createDataFrame(rows, EVENTS_SCHEMA)
+    row = funnel_counts(df).collect()[0]
+    assert (row["n_view"], row["n_view_click"], row["n_view_click_purchase"]) == (3, 2, 1)

@@ -187,3 +187,26 @@ def test_shingles_short_docs_no_crash(spark):
     assert exact_dedup(docs).count() == 5
     assert jaccard_pairs(docs, threshold=0.1).count() == 1  # docs 3,4
     assert minhash_lsh_dedup(docs, threshold=0.1).count() <= 1
+
+
+def test_top_terms_ranking(spark):
+    from graphminer_spark.textops.quality import top_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple banana cherry"),
+            (2, "banana banana cherry cherry date"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["rank"]): (r["word"], r["tf"])
+        for r in top_terms(docs, k=2).collect()
+    }
+    # doc 1: apple tf=2; then banana vs cherry tf=1 each — banana and
+    # cherry both df=2, tie broken by word asc → banana
+    assert got[(1, 1)] == ("apple", 2)
+    assert got[(1, 2)] == ("banana", 1)
+    # doc 2: banana/cherry tf=2 (both df=2) → banana first by word
+    assert got[(2, 1)] == ("banana", 2)
+    assert got[(2, 2)] == ("cherry", 2)
