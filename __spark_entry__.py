@@ -13,7 +13,10 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from graphminer_spark.algorithms.components import connected_components
+from graphminer_spark.algorithms.components import (
+    bfs_distances,
+    connected_components,
+)
 from graphminer_spark.algorithms.labelprop import label_propagation
 from graphminer_spark.algorithms.pagerank import (
     pagerank,
@@ -118,6 +121,7 @@ from graphminer_spark.graph.bipartite import (
 )
 from graphminer_spark.oracle_sql import MOTIF4_SQL
 from graphminer_spark.oracle_sql import (
+    bfs_sql,
     coreness_hindex_sql,
     ivf_ann_sql,
     kcore_sql,
@@ -287,6 +291,14 @@ CORENESS_ROUNDS = 40  # oracle unroll; Spark fixpoint round count is
 def _q_coreness(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = tpch_edges(spark, sf_dir, divisor=SPARSE_DIVISOR)
     return core_numbers_hindex(symmetrize(edges, dedup=False))
+
+
+BFS_SOURCE, BFS_ROUNDS = 0, 15
+
+
+def _q_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = tpch_edges(spark, sf_dir, divisor=SPARSE_DIVISOR)
+    return bfs_distances(symmetrize(edges, dedup=False), source=BFS_SOURCE)
 
 
 def _q_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -690,6 +702,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_nlf": _q_nlf,
         "graph_kcore": _q_kcore,
         "graph_coreness": _q_coreness,
+        "graph_bfs_dist": _q_bfs,
         "cc_components": _q_cc,
         "cc_sizes": _q_cc_sizes,
         "lp_labels_2iter": _q_lp2,
@@ -837,6 +850,9 @@ def oracle_sql() -> dict[str, str]:
         "graph_kcore": kcore_sql(30, divisor=SPARSE_DIVISOR),
         "graph_coreness": coreness_hindex_sql(
             CORENESS_ROUNDS, divisor=SPARSE_DIVISOR
+        ),
+        "graph_bfs_dist": bfs_sql(
+            BFS_SOURCE, BFS_ROUNDS, divisor=SPARSE_DIVISOR
         ),
         "cc_components": CC_SQL,
         "cc_sizes": (

@@ -145,3 +145,48 @@ def cc_hashmin(
         if changed == 0:
             break
     return labels
+
+
+def bfs_distances(
+    sym_edges: DataFrame,
+    source: int,
+    checkpointer: CheckpointManager | None = None,
+    max_iter: int = 100,
+) -> DataFrame:
+    """Unweighted single-source shortest-path distances →
+    ``(id, dist)`` over vertices reachable from ``source``.
+
+    Hash-min relaxation (the CC pattern specialized to distances):
+    each round extends the reached set one hop — reached ⋈ edges →
+    candidate dist+1, union, min per vertex — and stops when the
+    reached count and the distance sum are both stable (distances are
+    monotone non-increasing and the reached set monotone growing, so
+    the pair is an exact fixpoint witness). Rounds = eccentricity of
+    the source, each one join + one aggregate — the textbook Pregel
+    BFS as DataFrames.
+    """
+    ckpt = checkpointer or CheckpointManager(None)
+    spark = sym_edges.sparkSession
+    d = spark.createDataFrame([(source, 0)], "id long, dist long")
+    d = ckpt.save(d, 0, {"algo": "bfs"})
+    prev_sig = (1, 0)
+    for it in range(1, max_iter + 1):
+        cand = (
+            d.join(sym_edges.select(F.col("src").alias("id"), "dst"), "id")
+            .select(F.col("dst").alias("id"), (F.col("dist") + 1).alias("dist"))
+        )
+        new_d = (
+            d.unionByName(cand)
+            .groupBy("id")
+            .agg(F.min("dist").alias("dist"))
+        )
+        new_d = ckpt.save(new_d, it, {"algo": "bfs"})
+        row = new_d.agg(
+            F.count("*").alias("n"), F.sum("dist").alias("s")
+        ).collect()[0]
+        sig = (row["n"], row["s"] or 0)
+        d = new_d
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    return d

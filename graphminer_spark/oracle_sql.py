@@ -144,6 +144,27 @@ def coreness_hindex_sql(rounds: int = 40, divisor: int = 60) -> str:
     return f"WITH {', '.join(parts)} SELECT id, core FROM c{rounds}"
 
 
+def bfs_sql(source: int, rounds: int = 15, divisor: int = 60) -> str:
+    """Unrolled hash-min BFS distances (exact oracle for
+    ``algorithms.components.bfs_distances``); monotone fixpoint, so a
+    generous unroll past the source's eccentricity is exact (round
+    count asserted in pytest)."""
+    parts = [
+        graph_ctes(divisor),
+        f"b0 AS (SELECT {source}::BIGINT AS id, 0::BIGINT AS dist)",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"b{i} AS MATERIALIZED (SELECT id, min(dist) AS dist FROM ("
+            f"SELECT id, dist FROM b{i - 1} "
+            f"UNION ALL "
+            f"SELECT s.dst AS id, b.dist + 1 AS dist "
+            f"FROM b{i - 1} b JOIN sym s ON s.src = b.id"
+            f") GROUP BY id)"
+        )
+    return f"WITH {', '.join(parts)} SELECT id, dist FROM b{rounds}"
+
+
 def _lp_step(prev: str, step: str) -> str:
     """One synchronous LP superstep: argmax neighbor-label count, ties
     to the smallest label (matches algorithms.labelprop)."""

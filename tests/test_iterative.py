@@ -269,3 +269,63 @@ def test_clustering_coefficient_vs_brute(spark):
             continue
         t = sum(1 for x, y in itertools.combinations(sorted(ns), 2) if y in nbrs[x])
         assert got[v] == (t, (20000 * t) // (d * (d - 1))), v
+
+
+def test_bfs_distances_vs_brute(spark):
+    """Hash-min BFS equals a python BFS, stays inside the oracle
+    unroll on the gate graph, and unreached vertices are absent."""
+    import collections
+    import random as _random
+
+    from graphminer_spark.algorithms.components import bfs_distances
+    from graphminer_spark.graph.build import symmetrize
+    from tests.conftest import edges_df
+
+    rng = _random.Random(29)
+    canon = sorted(
+        {
+            (min(a, b), max(a, b))
+            for a, b in ((rng.randrange(60), rng.randrange(60)) for _ in range(120))
+            if a != b
+        }
+    )
+    canon += [(100, 101)]  # unreachable island
+    sym_pairs = canon + [(b, a) for a, b in canon]
+    adj: dict[int, list[int]] = {}
+    for a, b in sym_pairs:
+        adj.setdefault(a, []).append(b)
+    want = {0: 0}
+    q = collections.deque([0])
+    while q:
+        u = q.popleft()
+        for v in adj.get(u, []):
+            if v not in want:
+                want[v] = want[u] + 1
+                q.append(v)
+    sym = symmetrize(edges_df(spark, canon), dedup=False)
+    got = {r["id"]: r["dist"] for r in bfs_distances(sym, source=0).collect()}
+    assert got == want
+    assert 100 not in got and 101 not in got
+
+
+def test_bfs_rounds_within_oracle_unroll(spark):
+    from graphminer_spark.algorithms.components import bfs_distances
+    from graphminer_spark.checkpoint import CheckpointManager
+    from graphminer_spark.graph.build import symmetrize
+    from graphminer_spark.graph.tpch_edges import SPARSE_DIVISOR, tpch_edges
+
+    import __spark_entry__ as entry_mod
+
+    edges = tpch_edges(spark, "/root/testdata/sf0.001", divisor=SPARSE_DIVISOR)
+    sym = symmetrize(edges, dedup=False)
+
+    class CountingCkpt(CheckpointManager):
+        rounds = 0
+
+        def save(self, df, it, meta=None):
+            CountingCkpt.rounds = max(CountingCkpt.rounds, it)
+            return super().save(df, it, meta)
+
+    d = bfs_distances(sym, source=0, checkpointer=CountingCkpt(None))
+    assert d.count() > 1
+    assert CountingCkpt.rounds < entry_mod.BFS_ROUNDS
