@@ -21,6 +21,7 @@ from graphminer_spark.algorithms.labelprop import label_propagation
 from graphminer_spark.algorithms.pagerank import (
     pagerank,
     pagerank_csr,
+    pagerank_weighted,
     personalized_pagerank,
 )
 from graphminer_spark.algorithms.triangles import (
@@ -70,6 +71,7 @@ from graphminer_spark.oracle_sql import (
     minhash_sql,
     pagerank_sql,
     ppr_sql,
+    wpr_sql,
     hits_sql,
     CLUSTERING_SQL,
     quality_sql,
@@ -352,6 +354,17 @@ def _q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     sym = symmetrize(tpch_edges(spark, sf_dir), dedup=False)
     return degree_assortativity(sym).select(
         F.format_string("%.6f", F.col("r")).alias("r_s")
+    )
+
+
+def _q_wpr5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges, _, verts = _graph_vertices(spark, sf_dir)
+    wedges = edges.select(
+        "src", "dst", (1 + (F.col("src") + F.col("dst")) % 5).alias("w")
+    )
+    res = pagerank_weighted(wedges, verts, n_iter=5)
+    return res.ranks.select(
+        "id", F.format_string("%.6f", F.col("rank")).alias("rank_s")
     )
 
 
@@ -708,6 +721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lp_labels_2iter": _q_lp2,
         "pagerank_5iter": _q_pagerank5,
         "ppr_5iter": _q_ppr5,
+        "wpr_5iter": _q_wpr5,
         "hits_5iter": _q_hits5,
         "graph_clustering": _q_clustering,
         "graph_assortativity": _q_assortativity,
@@ -862,6 +876,7 @@ def oracle_sql() -> dict[str, str]:
         "lp_labels_2iter": lp_sql(2),
         "pagerank_5iter": pagerank_sql(5),
         "ppr_5iter": ppr_sql(5, mod=PPR_SOURCE_MOD),
+        "wpr_5iter": wpr_sql(5),
         "hits_5iter": hits_sql(5),
         "graph_clustering": CLUSTERING_SQL,
         "graph_assortativity": graph_query(

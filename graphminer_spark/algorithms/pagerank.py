@@ -260,6 +260,70 @@ def personalized_pagerank(
     return PageRankResult(state.select("id", "rank"), n_iter, False, [])
 
 
+def pagerank_weighted(
+    wedges: DataFrame,
+    vertices: DataFrame,
+    damping: float = 0.85,
+    n_iter: int = 5,
+    checkpointer: CheckpointManager | None = None,
+) -> PageRankResult:
+    """Weighted PageRank over ``wedges(src, dst, w)``: each vertex
+    splits its rank across out-edges proportionally to edge weight
+    (contrib = rank·w/W_out(src)); teleport and dangling mass stay
+    uniform. Identical superstep shape to ``pagerank`` — the weight
+    ratio rides along the same join, no extra shuffle.
+    """
+    ckpt = checkpointer or CheckpointManager(None)
+    n = vertices.count()
+    w_out = wedges.groupBy(F.col("src").alias("id")).agg(
+        F.sum("w").alias("w_out")
+    )
+    verts = (
+        vertices.select("id")
+        .join(w_out, "id", "left")
+        .select("id", F.coalesce("w_out", F.lit(0)).alias("w_out"))
+        .repartition("id")
+        .persist()
+    )
+    e = wedges.select("src", "dst", "w").repartition("src").persist()
+    e.count()
+
+    state = verts.select("id", F.lit(1.0 / n).alias("rank"), "w_out")
+    state = ckpt.save(state, 0, {"algo": "wpr"})
+    for it in range(1, n_iter + 1):
+        dangling = (
+            state.filter(F.col("w_out") == 0)
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+            .collect()[0][0]
+        )
+        contribs = (
+            state.filter(F.col("w_out") > 0)
+            .select(
+                F.col("id").alias("src"),
+                (F.col("rank") / F.col("w_out")).alias("per_w"),
+            )
+            .join(e, "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum(F.col("per_w") * F.col("w")).alias("contrib"))
+        )
+        base = (1.0 - damping) / n + damping * dangling / n
+        state = ckpt.save(
+            state.join(contribs.hint("shuffle_hash"), "id", "left").select(
+                "id",
+                (
+                    F.lit(base)
+                    + F.lit(damping) * F.coalesce("contrib", F.lit(0.0))
+                ).alias("rank"),
+                "w_out",
+            ),
+            it,
+            {"algo": "wpr"},
+        )
+    verts.unpersist()
+    e.unpersist()
+    return PageRankResult(state.select("id", "rank"), n_iter, False, [])
+
+
 # ------------------------------------------------------------------ CSR path
 
 

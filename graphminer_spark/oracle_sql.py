@@ -236,6 +236,45 @@ def pagerank_sql(n_iter: int, damping: float = 0.85, decimals: int = 6) -> str:
     )
 
 
+def wpr_sql(n_iter: int, damping: float = 0.85, decimals: int = 6) -> str:
+    """Unrolled weighted PageRank (edge weight = 1 + (src+dst) % 5;
+    contrib ∝ w/W_out) — oracle for
+    ``algorithms.pagerank.pagerank_weighted``."""
+    parts = [
+        GRAPH_CTES,
+        "verts AS (SELECT id FROM deg)",
+        "nv AS (SELECT cast(count(*) AS double) AS n FROM verts)",
+        "we AS MATERIALIZED (SELECT src, dst, 1 + (src + dst) % 5 AS w FROM edges)",
+        "od AS (SELECT src AS id, cast(sum(w) AS double) AS w_out FROM we GROUP BY src)",
+        "wpr0 AS (SELECT id, 1.0 / nv.n AS rank FROM verts CROSS JOIN nv)",
+    ]
+    for k in range(1, n_iter + 1):
+        prev, step = f"wpr{k - 1}", f"wpr{k}"
+        parts.append(
+            f"""
+dang_{step} AS (
+  SELECT coalesce(sum(r.rank), 0.0) AS mass
+  FROM {prev} r LEFT JOIN od ON od.id = r.id WHERE od.w_out IS NULL
+),
+contrib_{step} AS (
+  SELECT e.dst AS id, sum((r.rank / od.w_out) * e.w) AS c
+  FROM we e JOIN {prev} r ON r.id = e.src JOIN od ON od.id = e.src
+  GROUP BY e.dst
+),
+{step} AS MATERIALIZED (
+  SELECT v.id,
+         (1.0 - {damping}) / nv.n + {damping} * (coalesce(c.c, 0.0) + d.mass / nv.n) AS rank
+  FROM verts v CROSS JOIN nv CROSS JOIN dang_{step} d
+  LEFT JOIN contrib_{step} c ON c.id = v.id
+)
+""".strip()
+        )
+    return (
+        f"WITH {', '.join(parts)} "
+        f"SELECT id, printf('%.{decimals}f', rank) AS rank_s FROM wpr{n_iter}"
+    )
+
+
 def ppr_sql(
     n_iter: int, mod: int = 50, damping: float = 0.85, decimals: int = 6
 ) -> str:

@@ -329,3 +329,50 @@ def test_bfs_rounds_within_oracle_unroll(spark):
     d = bfs_distances(sym, source=0, checkpointer=CountingCkpt(None))
     assert d.count() > 1
     assert CountingCkpt.rounds < entry_mod.BFS_ROUNDS
+
+
+def test_weighted_pagerank_vs_dense(spark):
+    """Weighted PR matches a dense numpy iteration; uniform weights
+    reduce to plain PageRank."""
+    import numpy as np
+
+    from graphminer_spark.algorithms.pagerank import pagerank, pagerank_weighted
+
+    edges = [(0, 1, 3), (0, 2, 1), (1, 2, 2), (3, 0, 5)]  # vertex 2 dangling
+    n, iters, d = 4, 6, 0.85
+    verts = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    wdf = spark.createDataFrame(edges, "src long, dst long, w long")
+    got = {
+        r["id"]: r["rank"]
+        for r in pagerank_weighted(wdf, verts, n_iter=iters).ranks.collect()
+    }
+
+    W = np.zeros((n, n))
+    for a, b, w in edges:
+        W[a, b] = w
+    wout = W.sum(axis=1)
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        contrib = np.zeros(n)
+        for a, b, w in edges:
+            contrib[b] += r[a] * w / wout[a]
+        dang = r[wout == 0].sum()
+        r = (1 - d) / n + d * (contrib + dang / n)
+    for i in range(n):
+        assert abs(got[i] - r[i]) < 1e-12, i
+
+    # uniform weights == unweighted pagerank (fixed 4 iterations)
+    uni = spark.createDataFrame(
+        [(a, b) for a, b, _ in edges], "src long, dst long"
+    )
+    uw = uni.select("src", "dst", F.lit(1).alias("w"))
+    a1 = {
+        r["id"]: r["rank"]
+        for r in pagerank_weighted(uw, verts, n_iter=4).ranks.collect()
+    }
+    a2 = {
+        r["id"]: r["rank"]
+        for r in pagerank(uni, verts, tol=0.0, max_iter=4).ranks.collect()
+    }
+    for i in range(n):
+        assert abs(a1[i] - a2[i]) < 1e-12
