@@ -84,11 +84,14 @@ from graphminer_spark.algorithms.patterns import (
     fsm_2edge_support,
     fsm_3edge_support,
     fsm_edge_support,
+    fsm_elabel_2edge_support,
+    fsm_elabel_support,
     labeled_triangle_count,
 )
 from graphminer_spark.graph.labels import (
     label_frequency,
     nlf,
+    with_synthetic_elabels,
     with_synthetic_labels,
 )
 from graphminer_spark.oracle_sql import (
@@ -97,6 +100,8 @@ from graphminer_spark.oracle_sql import (
     fsm_2edge_support_sql,
     fsm_3edge_support_sql,
     fsm_edge_support_sql,
+    fsm_elabel_2edge_support_sql,
+    fsm_elabel_support_sql,
     labeled_tri_sql,
     PATTERN_COUNTS_SQL,
     sessionize_sql,
@@ -155,9 +160,11 @@ from graphminer_spark.textops.quality import (
     fingerprint,
     language_id,
     quality_score,
+    text_stats,
     token_count,
     top_terms,
 )
+from graphminer_spark.oracle_sql import text_stats_sql
 
 EMB_DIM = 64
 KNN_K, KNN_QUERIES = 3, 20
@@ -208,7 +215,12 @@ def _q_clique4(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = tpch_edges(spark, sf_dir).persist()
-    return pattern_counts(edges, build_dag(edges))
+    # pattern_counts materializes its single-row result eagerly, so the
+    # edge persist can be released before returning (no leak across a
+    # long all-queries session)
+    out = pattern_counts(edges, build_dag(edges))
+    edges.unpersist()
+    return out
 
 
 def _q_clique5(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -221,6 +233,12 @@ def _q_clique6(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clique_count(build_dag(tpch_edges(spark, sf_dir)), 6)
 
 
+def _q_clique7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # k=7 from the reference's published range (src/clique/README.md:
+    # 52-64); same generic chain, one more bounded-intersection level
+    return clique_count(build_dag(tpch_edges(spark, sf_dir)), 7)
+
+
 def _q_labeled_tri(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges, _, verts = _graph_vertices(spark, sf_dir)
     lv = with_synthetic_labels(verts)
@@ -230,6 +248,35 @@ def _q_labeled_tri(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_fsm_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, sym, verts = _graph_vertices(spark, sf_dir)
     return fsm_edge_support(sym, with_synthetic_labels(verts), minsup=130)
+
+
+FSM_EL_MINSUP = 137  # median of the sf0.01 support range (130..143):
+# roughly half of the 140 (la, el, lb) patterns survive — a non-trivial
+# frequent/infrequent split for the gate
+
+
+def _q_fsm_elabel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # edge-labeled FSM seeding level: (vlabel)-[elabel]-(vlabel) tuples
+    # (the reference's DFS-code element shape, src/fsm/omp_base.cc:19-148)
+    _, sym, verts = _graph_vertices(spark, sf_dir)
+    return fsm_elabel_support(
+        with_synthetic_elabels(sym), with_synthetic_labels(verts),
+        minsup=FSM_EL_MINSUP,
+    )
+
+
+FSM_EL2_MINSUP = 150  # sf0.01 wedge supports span 77..188; the median
+# keeps ~half of the 4410 edge-labeled wedge patterns
+
+
+def _q_fsm_elabel_2edge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = tpch_edges(spark, sf_dir, divisor=SPARSE_DIVISOR)
+    sym = symmetrize(edges, dedup=False)
+    verts = degrees(sym).select("id")
+    return fsm_elabel_2edge_support(
+        with_synthetic_elabels(sym), with_synthetic_labels(verts),
+        minsup=FSM_EL2_MINSUP,
+    )
 
 
 FSM2_MINSUP = 640  # splits the 196 wedge patterns near the median at sf0.01
@@ -464,7 +511,9 @@ def _q_butterflies(spark, sf_dir):
 
 def _q_motif4(spark, sf_dir):
     edges = tpch_edges(spark, sf_dir).persist()
-    return motif4_counts(edges, build_dag(edges))
+    out = motif4_counts(edges, build_dag(edges))  # eager single row
+    edges.unpersist()
+    return out
 
 
 # 5-motif graph: the scrambled divisor-2 derivation (uniform deg ≈ 4,
@@ -518,6 +567,12 @@ def _q_langid(spark, sf_dir):
 
 def _q_fingerprint(spark, sf_dir):
     return fingerprint(_docs(spark, sf_dir))
+
+
+def _q_text_stats(spark, sf_dir):
+    # combined quality/token/langid/fingerprint row — one gate slot
+    # certifies all four text-analysis operators
+    return text_stats(_docs(spark, sf_dir))
 
 
 def _q_minhash(spark, sf_dir):
@@ -660,29 +715,16 @@ def _q_ev_top_users(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Insertion order is the DRIVER GATE ORDER: the driver's
+    CORRECTNESS file records the first 50 entries, so positions 1-50
+    certify one representative of EVERY operator family (north-rule
+    algorithms and graph core first, then patterns/FSM/Query, then one
+    row per LLM-pipeline family). Redundant variants (extra SgL
+    shapes, low-k cliques, the individual text queries subsumed by
+    docs_text_stats, events/OLAP extras) sit past the cap and stay
+    covered by ``tools/check_oracles.py`` locally."""
     return {
-        "olap_revenue_rollup": _q_rollup,
-        "olap_top_parts": _q_top_parts,
-        "olap_status_pivot": _q_pivot,
-        "ev_windowed_counts": _q_ev_windows,
-        "ev_sessions": _q_ev_sessions,
-        "ev_top_users": _q_ev_top_users,
-        "ev_funnel": _q_ev_funnel,
-        "docs_top_terms": _q_top_terms,
-        "docs_exact_dedup": _q_exact_dedup,
-        "docs_token_count": _q_token_count,
-        "docs_quality": _q_quality,
-        "docs_langid": _q_langid,
-        "docs_fingerprint": _q_fingerprint,
-        "docs_minhash_sigs": _q_minhash,
-        "docs_lsh_neardup": _q_lsh_neardup,
-        "docs_jaccard_pairs": _q_jaccard_pairs,
-        "docs_simhash": _q_simhash,
-        "docs_simhash_neardup": _q_simhash_neardup,
-        "emb_knn": _q_knn,
-        "emb_lsh_ann": _q_lsh_ann,
-        "emb_ivf_ann": _q_ivf_ann,
-        "emb_neardup": _q_emb_neardup,
+        # --- graph core + north-rule algorithms (§2.2/§2.4) ---
         "graph_edges": _q_edges,
         "graph_degrees": _q_degrees,
         "graph_degree_hist": _q_degree_hist,
@@ -690,42 +732,79 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tc_total": _q_tc_total,
         "tc_per_edge": _q_tc_per_edge,
         "tc_approx": _q_tc_approx,
+        "pagerank_5iter": _q_pagerank5,
+        "pagerank_5iter_csr": _q_pagerank5_csr,
+        "ppr_5iter": _q_ppr5,
+        "wpr_5iter": _q_wpr5,
+        "cc_components": _q_cc,
+        "lp_labels_2iter": _q_lp2,
+        "graph_kcore": _q_kcore,
+        "graph_coreness": _q_coreness,
+        "graph_bfs_dist": _q_bfs,
+        "hits_5iter": _q_hits5,
+        "graph_clustering": _q_clustering,
+        "graph_assortativity": _q_assortativity,
         "temporal_tri_count": _q_temporal_tri,
         "dyn_tri_delta": _q_dyn_tri,
-        "mm_media_meta": _q_mm_meta,
-        "mm_frame_sample": _q_mm_frames,
-        "mm_asset_dedup": _q_mm_dedup,
-        "clique4_total": _q_clique4,
-        "clique5_total": _q_clique5,
+        # --- patterns / motifs / cliques ---
         "clique6_total": _q_clique6,
+        "clique7_total": _q_clique7,
+        "motif4_counts": _q_motif4,
+        "motif5_counts": _q_motif5,
+        "pattern_counts": _q_patterns,
+        # --- labels / FSM / Query pipeline / GKS / bipartite ---
+        "graph_label_freq": _q_label_freq,
+        "graph_nlf": _q_nlf,
         "labeled_tri_count": _q_labeled_tri,
         "fsm_edge_support": _q_fsm_edges,
         "fsm_2edge_support": _q_fsm_2edge,
         "fsm_3edge_support": _q_fsm_3edge,
-        "pattern_counts": _q_patterns,
-        **{f"sgl_{n}": _mk_sgl_query(n) for n in sorted(SGL_GRAPH)},
+        "fsm_elabel_support": _q_fsm_elabel,
+        "fsm_elabel_2edge_support": _q_fsm_elabel_2edge,
         "query_labeled_diamond": _q_labeled_diamond,
         "query_labeled_4path": _q_labeled_4path,
         "gks_3keywords": _q_gks,
-        "motif4_counts": _q_motif4,
-        "motif5_counts": _q_motif5,
         "bip_degrees": _q_bip_degrees,
         "bip_butterflies": _q_butterflies,
-        "graph_label_freq": _q_label_freq,
-        "graph_nlf": _q_nlf,
-        "graph_kcore": _q_kcore,
-        "graph_coreness": _q_coreness,
-        "graph_bfs_dist": _q_bfs,
-        "cc_components": _q_cc,
+        # --- SgL representatives (full family continues past the cap) ---
+        "sgl_house": _mk_sgl_query("house"),
+        "sgl_taileddiamond2": _mk_sgl_query("taileddiamond2"),
+        # --- one row per LLM-pipeline family ---
+        "docs_exact_dedup": _q_exact_dedup,
+        "docs_lsh_neardup": _q_lsh_neardup,
+        "docs_jaccard_pairs": _q_jaccard_pairs,
+        "docs_simhash_neardup": _q_simhash_neardup,
+        "docs_text_stats": _q_text_stats,
+        "emb_knn": _q_knn,
+        "emb_lsh_ann": _q_lsh_ann,
+        "emb_ivf_ann": _q_ivf_ann,
+        "mm_media_meta": _q_mm_meta,
+        # ---------------- past the 50-entry driver cap ----------------
         "cc_sizes": _q_cc_sizes,
-        "lp_labels_2iter": _q_lp2,
-        "pagerank_5iter": _q_pagerank5,
-        "ppr_5iter": _q_ppr5,
-        "wpr_5iter": _q_wpr5,
-        "hits_5iter": _q_hits5,
-        "graph_clustering": _q_clustering,
-        "graph_assortativity": _q_assortativity,
-        "pagerank_5iter_csr": _q_pagerank5_csr,
+        **{
+            f"sgl_{n}": _mk_sgl_query(n)
+            for n in sorted(SGL_GRAPH)
+            if n not in ("house", "taileddiamond2")
+        },
+        "clique4_total": _q_clique4,
+        "clique5_total": _q_clique5,
+        "emb_neardup": _q_emb_neardup,
+        "docs_minhash_sigs": _q_minhash,
+        "docs_simhash": _q_simhash,
+        "docs_token_count": _q_token_count,
+        "docs_quality": _q_quality,
+        "docs_langid": _q_langid,
+        "docs_fingerprint": _q_fingerprint,
+        "docs_top_terms": _q_top_terms,
+        "mm_frame_sample": _q_mm_frames,
+        "mm_asset_dedup": _q_mm_dedup,
+        "ev_windowed_counts": _q_ev_windows,
+        "ev_sessions": _q_ev_sessions,
+        "ev_top_users": _q_ev_top_users,
+        "ev_funnel": _q_ev_funnel,
+        "olap_revenue_rollup": _q_rollup,
+        "olap_top_parts": _q_top_parts,
+        "olap_status_pivot": _q_pivot,
     }
 
 
@@ -824,8 +903,14 @@ def oracle_sql() -> dict[str, str]:
         ),
         "clique5_total": clique_sql(5),
         "clique6_total": clique_sql(6),
+        "clique7_total": clique_sql(7),
         "labeled_tri_count": labeled_tri_sql(0, 1, 2),
         "fsm_edge_support": fsm_edge_support_sql(130),
+        "fsm_elabel_support": fsm_elabel_support_sql(FSM_EL_MINSUP),
+        "fsm_elabel_2edge_support": fsm_elabel_2edge_support_sql(
+            FSM_EL2_MINSUP, divisor=SPARSE_DIVISOR
+        ),
+        "docs_text_stats": text_stats_sql(STOPWORDS, LANG_MARKERS),
         "fsm_2edge_support": fsm_2edge_support_sql(
             FSM2_MINSUP, divisor=SPARSE_DIVISOR
         ),

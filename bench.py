@@ -190,6 +190,33 @@ def main() -> None:
         extra=True,
     )
 
+    # ---- Query pipeline at density: the labeled house on the DENSE
+    # divisor-60 graph, with and without the NLF/degree filter stage —
+    # the honest head-to-head showing the candidate pruning paying for
+    # itself where the graph is dense enough to punish unfiltered
+    # enumeration (labels give the filter its selectivity; the
+    # unlabeled SgL kernels have nothing to prune on).
+    from graphminer_spark.algorithms.subgraph import PatternSpec  # noqa: E402
+    from graphminer_spark.graph.labels import with_synthetic_labels  # noqa: E402
+
+    labeled_house = PatternSpec(
+        "labeled_house",
+        5,
+        ((0, 1), (0, 2), (1, 2), (1, 3), (3, 4), (0, 4)),
+        vlabels=(0, 1, 2, 3, 4),
+    )
+    lv = with_synthetic_labels(verts)
+    timed(
+        "query_labeled_house_dense",
+        lambda: count_matches(sym, labeled_house, lv, prune=True).collect(),
+        extra=True,
+    )
+    timed(
+        "query_labeled_house_dense_noprune",
+        lambda: count_matches(sym, labeled_house, lv, prune=False).collect(),
+        extra=True,
+    )
+
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]
     print(

@@ -24,6 +24,8 @@ def hits(
     """``(id, hub, auth)`` after ``n_iter`` HITS iterations over the
     directed ``edges(src, dst)``; both score vectors L1-normalize to
     1.0 every half-step (the convergent formulation)."""
+    from graphminer_spark.checkpoint import materialize_with_agg
+
     ckpt = checkpointer or CheckpointManager(None)
     verts = vertices.select("id").repartition("id").persist()
     n = verts.count()
@@ -34,6 +36,10 @@ def hits(
         "id", F.lit(1.0 / n).alias("hub"), F.lit(1.0 / n).alias("auth")
     )
     state = ckpt.save(state, 0, {"algo": "hits"})
+    # ONE action per half-step (2 per iteration): the half-step state is
+    # materialized with the UNnormalized score column, and the same
+    # aggregate job returns the normalization sum — the next projection
+    # divides by it as a literal, so there is no separate collect.
     for it in range(1, n_iter + 1):
         auth_raw = (
             e.join(
@@ -42,15 +48,15 @@ def hits(
             .groupBy(F.col("dst").alias("id"))
             .agg(F.sum("hub").alias("a_raw"))
         )
-        a_sum = auth_raw.agg(F.sum("a_raw")).collect()[0][0] or 1.0
-        with_auth = (
-            state.select("id", "hub")
-            .join(auth_raw, "id", "left")
-            .select(
-                "id",
-                "hub",
-                (F.coalesce("a_raw", F.lit(0.0)) / a_sum).alias("auth"),
-            )
+        half, row = materialize_with_agg(
+            state.select("id", "hub").join(auth_raw, "id", "left"),
+            F.sum("a_raw").alias("s"),
+        )
+        a_sum = row["s"] or 1.0
+        with_auth = half.select(
+            "id",
+            "hub",
+            (F.coalesce("a_raw", F.lit(0.0)) / a_sum).alias("auth"),
         )
         hub_raw = (
             e.join(
@@ -59,16 +65,17 @@ def hits(
             .groupBy(F.col("src").alias("id"))
             .agg(F.sum("auth").alias("h_raw"))
         )
-        h_sum = hub_raw.agg(F.sum("h_raw")).collect()[0][0] or 1.0
-        state = ckpt.save(
-            with_auth.join(hub_raw, "id", "left").select(
-                "id",
-                (F.coalesce("h_raw", F.lit(0.0)) / h_sum).alias("hub"),
-                "auth",
-            ),
-            it,
-            {"algo": "hits"},
+        full, row = materialize_with_agg(
+            with_auth.select("id", "auth").join(hub_raw, "id", "left"),
+            F.sum("h_raw").alias("s"),
         )
+        h_sum = row["s"] or 1.0
+        state = full.select(
+            "id",
+            (F.coalesce("h_raw", F.lit(0.0)) / h_sum).alias("hub"),
+            "auth",
+        )
+        ckpt.log(it, {"algo": "hits"})
     verts.unpersist()
     e.unpersist()
     return state

@@ -145,8 +145,8 @@ def path4_count(
     else:
         tri = triangle_count(dag).collect()[0]["n_triangles"]
     return (
-        canonical_edges.join(F.broadcast(du), "src")
-        .join(F.broadcast(dv), "dst")
+        canonical_edges.join(du, "src")
+        .join(dv, "dst")
         .agg(
             (
                 F.sum((F.col("du") - 1) * (F.col("dv") - 1)) - 3 * int(tri)
@@ -174,7 +174,7 @@ def pattern_counts(canonical_edges: DataFrame, dag: DataFrame) -> DataFrame:
         .crossJoin(path4_count(canonical_edges, dag, pe))
         .crossJoin(rectangle_count(canonical_edges, dag))
     )
-    return out.select(
+    out = out.select(
         "n_wedges",
         "n_3stars",
         "n_triangles",
@@ -183,6 +183,12 @@ def pattern_counts(canonical_edges: DataFrame, dag: DataFrame) -> DataFrame:
         "n_4paths",
         "n_rectangles",
     )
+    # single-row result: materialize it eagerly so the shared triangle
+    # table can be released NOW — a session running many queries must
+    # not accumulate persisted RDDs
+    out = out.localCheckpoint(eager=True)
+    pe.unpersist()
+    return out
 
 
 def motif4_counts(canonical_edges: DataFrame, dag: DataFrame) -> DataFrame:
@@ -246,7 +252,7 @@ def motif4_counts(canonical_edges: DataFrame, dag: DataFrame) -> DataFrame:
         - 2 * F.col("n_diamonds_ind")
         - 4 * k4
     ).alias("n_3stars_ind")
-    return out.select(
+    out = out.select(
         i_p4,
         i_s3,
         "n_4cycles_ind",
@@ -254,6 +260,11 @@ def motif4_counts(canonical_edges: DataFrame, dag: DataFrame) -> DataFrame:
         "n_diamonds_ind",
         "n_4cliques",
     )
+    # eager single-row materialization → release the shared enumerations
+    out = out.localCheckpoint(eager=True)
+    tri.unpersist()
+    pe.unpersist()
+    return out
 
 
 def rectangle_count(

@@ -108,10 +108,11 @@ def pagerank(
     deltas: list[float] = []
     converged = False
     it = start_iter
-    # two actions per superstep: (1) materialize new state (checkpoint /
-    # lineage truncation), (2) one fused aggregate computing BOTH the L1
-    # delta and the next iteration's dangling mass. Fixed-iteration
-    # dangling-free runs skip (2) and checkpoint every lineage_every.
+    # ONE action per superstep: the new state is lazily checkpointed and
+    # a single fused aggregate — L1 delta AND the next iteration's
+    # dangling mass — materializes it (save_and_agg). Fixed-iteration
+    # dangling-free runs skip the aggregate and checkpoint every
+    # lineage_every.
     for it in range(start_iter + 1, max_iter + 1):
         contribs = (
             state.filter(F.col("out_deg") > 0)
@@ -158,14 +159,18 @@ def pagerank(
                 F.col("rank").alias("prev_rank"),
             )
         )
-        state = ckpt.save(new_state, it, {"algo": "pagerank"})
-        row = state.agg(
-            F.sum(F.abs(F.col("rank") - F.col("prev_rank"))).alias("delta"),
-            F.coalesce(
-                F.sum(F.when(F.col("out_deg") == 0, F.col("rank"))),
-                F.lit(0.0),
-            ).alias("dangling"),
-        ).collect()[0]
+        state, row = ckpt.save_and_agg(
+            new_state,
+            it,
+            {"algo": "pagerank"},
+            [
+                F.sum(F.abs(F.col("rank") - F.col("prev_rank"))).alias("delta"),
+                F.coalesce(
+                    F.sum(F.when(F.col("out_deg") == 0, F.col("rank"))),
+                    F.lit(0.0),
+                ).alias("dangling"),
+            ],
+        )
         delta, dangling = float(row["delta"]), float(row["dangling"])
         deltas.append(delta)
         ckpt.log(it, {"algo": "pagerank", "delta": delta})
@@ -205,7 +210,10 @@ def personalized_pagerank(
     """
     spark = edges.sparkSession
     ckpt = checkpointer or CheckpointManager(None)
-    sflag = sources.select("id").withColumn("s", F.lit(1.0))
+    # distinct() so duplicate ids in an arbitrary caller-supplied source
+    # set can't fan out vertex rows through the left join (which would
+    # inflate ns and corrupt rank mass)
+    sflag = sources.select("id").distinct().withColumn("s", F.lit(1.0))
     verts = (
         _prepare(edges, vertices)
         .join(sflag, "id", "left")
@@ -219,16 +227,18 @@ def personalized_pagerank(
     e = edges.select("src", "dst").repartition("src").persist()
     e.count()
 
+    _dangling_agg = F.coalesce(
+        F.sum(F.when(F.col("out_deg") == 0, F.col("rank"))), F.lit(0.0)
+    ).alias("dangling")
     state = verts.select(
         "id", (F.col("s") / ns).alias("rank"), "out_deg", "s"
     )
-    state = ckpt.save(state, 0, {"algo": "ppr"})
+    # ONE action per superstep: the save's materializing aggregate also
+    # computes the NEXT superstep's dangling mass (same fusion as
+    # `pagerank`) — no separate collect before the update join
+    state, row = ckpt.save_and_agg(state, 0, {"algo": "ppr"}, [_dangling_agg])
+    dangling = float(row["dangling"])
     for it in range(1, n_iter + 1):
-        dangling = (
-            state.filter(F.col("out_deg") == 0)
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-            .collect()[0][0]
-        )
         contribs = (
             state.filter(F.col("out_deg") > 0)
             .select(
@@ -242,7 +252,7 @@ def personalized_pagerank(
         # teleport+dangling return ONLY to sources: a per-row scalar
         # multiple of the s indicator — no extra join for personalization
         back = (1.0 - damping) / ns + damping * dangling / ns
-        state = ckpt.save(
+        state, row = ckpt.save_and_agg(
             state.join(contribs.hint("shuffle_hash"), "id", "left").select(
                 "id",
                 (
@@ -254,7 +264,9 @@ def personalized_pagerank(
             ),
             it,
             {"algo": "ppr"},
+            [_dangling_agg],
         )
+        dangling = float(row["dangling"])
     verts.unpersist()
     e.unpersist()
     return PageRankResult(state.select("id", "rank"), n_iter, False, [])
@@ -288,14 +300,15 @@ def pagerank_weighted(
     e = wedges.select("src", "dst", "w").repartition("src").persist()
     e.count()
 
+    _dangling_agg = F.coalesce(
+        F.sum(F.when(F.col("w_out") == 0, F.col("rank"))), F.lit(0.0)
+    ).alias("dangling")
     state = verts.select("id", F.lit(1.0 / n).alias("rank"), "w_out")
-    state = ckpt.save(state, 0, {"algo": "wpr"})
+    # fused superstep: the materializing aggregate carries the next
+    # superstep's dangling mass — ONE action per superstep
+    state, row = ckpt.save_and_agg(state, 0, {"algo": "wpr"}, [_dangling_agg])
+    dangling = float(row["dangling"])
     for it in range(1, n_iter + 1):
-        dangling = (
-            state.filter(F.col("w_out") == 0)
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-            .collect()[0][0]
-        )
         contribs = (
             state.filter(F.col("w_out") > 0)
             .select(
@@ -307,7 +320,7 @@ def pagerank_weighted(
             .agg(F.sum(F.col("per_w") * F.col("w")).alias("contrib"))
         )
         base = (1.0 - damping) / n + damping * dangling / n
-        state = ckpt.save(
+        state, row = ckpt.save_and_agg(
             state.join(contribs.hint("shuffle_hash"), "id", "left").select(
                 "id",
                 (
@@ -318,7 +331,9 @@ def pagerank_weighted(
             ),
             it,
             {"algo": "wpr"},
+            [_dangling_agg],
         )
+        dangling = float(row["dangling"])
     verts.unpersist()
     e.unpersist()
     return PageRankResult(state.select("id", "rank"), n_iter, False, [])
@@ -373,21 +388,26 @@ def pagerank_csr(
     has_out = csr.select(F.col("src").alias("id")).distinct().withColumn(
         "has_out", F.lit(True)
     )
+    _dangling_agg = F.coalesce(
+        F.sum(F.when(~F.col("has_out"), F.col("rank"))), F.lit(0.0)
+    ).alias("dangling")
     ranks = (
         vertices.select("id", F.lit(1.0 / n).alias("rank"))
         .join(has_out, "id", "left")
         .select("id", "rank", F.coalesce("has_out", F.lit(False)).alias("has_out"))
     )
-    ranks = ckpt.save(ranks, 0, {"algo": "pagerank_csr"})
+    # fused supersteps (same as `pagerank`): the materializing aggregate
+    # computes BOTH the L1 delta and the NEXT superstep's dangling mass
+    # — one driver action instead of three (dangling collect + save +
+    # delta collect)
+    ranks, row = ckpt.save_and_agg(
+        ranks, 0, {"algo": "pagerank_csr"}, [_dangling_agg]
+    )
+    dangling = float(row["dangling"])
     deltas: list[float] = []
     converged = False
     it = 0
     for it in range(1, max_iter + 1):
-        dangling = (
-            ranks.filter(~F.col("has_out"))
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-            .collect()[0][0]
-        )
         joined = csr.join(ranks, csr["src"] == ranks["id"]).select(
             "block", "nbrs", "out_deg", "rank"
         )
@@ -410,10 +430,16 @@ def pagerank_csr(
                 F.col("rank").alias("prev_rank"),
             )
         )
-        ranks = ckpt.save(new_ranks, it, {"algo": "pagerank_csr"})
-        delta = ranks.agg(
-            F.sum(F.abs(F.col("rank") - F.col("prev_rank")))
-        ).collect()[0][0]
+        ranks, row = ckpt.save_and_agg(
+            new_ranks,
+            it,
+            {"algo": "pagerank_csr"},
+            [
+                F.sum(F.abs(F.col("rank") - F.col("prev_rank"))).alias("delta"),
+                _dangling_agg,
+            ],
+        )
+        delta, dangling = float(row["delta"]), float(row["dangling"])
         deltas.append(float(delta))
         ckpt.log(it, {"algo": "pagerank_csr", "delta": float(delta)})
         if delta < tol:

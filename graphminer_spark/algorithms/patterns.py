@@ -8,7 +8,7 @@ edge-pattern support.
   intersection in relational form.
 * ``labeled_triangle_count`` — a miniature of the Query workload
   (``src/query/omp_base.cc``): label-filtered candidates (the CFL/NLF
-  filter stage as broadcast semi-joins) then the enumeration join.
+  filter stage as semi-joins) then the enumeration join.
 * ``fsm_edge_support`` — FSM's single-edge seeding phase
   (``src/fsm/omp_base.cc:19-148``): per edge-label-pattern MNI domain
   support = min over pattern positions of distinct mapped vertices
@@ -47,14 +47,14 @@ def labeled_triangle_count(
     ``(n_matches: long)``.
 
     Pipeline mirrors the reference's filter→enumerate: per-position
-    candidate sets are label-filtered first (broadcast), so the joins
+    candidate sets are label-filtered first (semi-joins), so the joins
     only see surviving vertices.
     """
     la, lb, lc = labels
+    # candidate sets are |V|/n_classes rows — label-filtered but still
+    # O(|V|); no forced broadcast (AQE broadcasts when actually small)
     cand = {
-        lab: F.broadcast(
-            labeled_vertices.filter(F.col("vlabel") == lab).select("id")
-        )
+        lab: labeled_vertices.filter(F.col("vlabel") == lab).select("id")
         for lab in set(labels)
     }
     e1 = dag.select(F.col("src").alias("u"), F.col("dst").alias("v"))
@@ -135,7 +135,10 @@ def fsm_2edge_support(
             F.least("d1", "d2", "d3").alias("support"),
         )
     )
-    return support.filter(F.col("support") >= minsup)
+    # ≤ n_classes³ pattern rows: materialize eagerly, release `lab`
+    out = support.filter(F.col("support") >= minsup).localCheckpoint(eager=True)
+    lab.unpersist()
+    return out
 
 
 def fsm_3edge_support(
@@ -239,7 +242,10 @@ def fsm_3edge_support(
                    [F.col("la"), F.col("lb"), F.col("lc"), F.col("ld2")])
 
     out = tri_sup.unionByName(star_sup).unionByName(path_sup)
-    return out.filter(F.col("support") >= minsup)
+    # bounded pattern-table result: materialize eagerly, release `e`
+    out = out.filter(F.col("support") >= minsup).localCheckpoint(eager=True)
+    e.unpersist()
+    return out
 
 
 def fsm_edge_support(
@@ -255,7 +261,8 @@ def fsm_edge_support(
     embeddings — the anti-monotone support the reference uses
     (``src/fsm/domain_support.h``).
     """
-    lv = F.broadcast(labeled_vertices)
+    # one row per vertex — never force-broadcast (AQE decides)
+    lv = labeled_vertices
     lab = (
         sym_edges.join(lv.select(F.col("id").alias("src"), F.col("vlabel").alias("la")), "src")
         .join(lv.select(F.col("id").alias("dst"), F.col("vlabel").alias("lb")), "dst")
@@ -271,6 +278,111 @@ def fsm_edge_support(
             "la",
             "lb",
             F.least("d1", "d2").alias("support"),
+        )
+    )
+    return support.filter(F.col("support") >= minsup)
+
+
+def fsm_elabel_support(
+    sym_eledges: DataFrame,
+    labeled_vertices: DataFrame,
+    minsup: int,
+) -> DataFrame:
+    """Frequent EDGE-labeled single-edge patterns ``(la)-[el]-(lb)`` by
+    MNI domain support → ``(la, el, lb, support)`` with la ≤ lb
+    canonical, support ≥ minsup.
+
+    The reference's FSM operates on edge-labeled DFS codes — each code
+    element is a ``(vlabel, elabel, vlabel)`` tuple (``src/fsm/
+    omp_base.cc:19-148``; per-edge ``elabel_t``, ``include/graph.h:38``).
+    Input ``sym_eledges(src, dst, elabel)`` carries the same elabel in
+    both directions (``labels.with_synthetic_elabels``), so when
+    la = lb both orientations survive the canonical filter and the
+    symmetric positions' domains union — MNI semantics
+    (``src/fsm/domain_support.h``). One shuffle (the groupBy); the
+    vertex-label joins are plain equi-joins AQE may broadcast.
+    """
+    lv = labeled_vertices.select("id", "vlabel")
+    lab = (
+        sym_eledges.join(
+            lv.select(F.col("id").alias("src"), F.col("vlabel").alias("la")),
+            "src",
+        )
+        .join(
+            lv.select(F.col("id").alias("dst"), F.col("vlabel").alias("lb")),
+            "dst",
+        )
+        .filter(F.col("la") <= F.col("lb"))
+    )
+    support = (
+        lab.groupBy("la", "elabel", "lb")
+        .agg(
+            F.countDistinct("src").alias("d1"),
+            F.countDistinct("dst").alias("d2"),
+        )
+        .select(
+            "la",
+            F.col("elabel").alias("el"),
+            "lb",
+            F.least("d1", "d2").alias("support"),
+        )
+    )
+    return support.filter(F.col("support") >= minsup)
+
+
+def fsm_elabel_2edge_support(
+    sym_eledges: DataFrame,
+    labeled_vertices: DataFrame,
+    minsup: int,
+) -> DataFrame:
+    """Frequent edge-labeled wedges ``(la)-[e1]-(lb)-[e2]-(lc)`` with
+    MNI domain support → ``(la, e1, lb, e2, lc, support)``.
+
+    The 2-edge gSpan level over edge-labeled DFS codes (``src/fsm/
+    omp_base.cc:150-239`` ``dfs_extend`` with ``elabel_t`` tuples).
+    Canonical form: ``(la, e1) ≤ (lc, e2)`` lexicographically — the
+    wedge's only automorphism swaps the two arms; on palindromic
+    patterns both orientations survive and the arm positions' domains
+    union, exactly MNI (``src/fsm/domain_support.h``).
+    """
+    lv = labeled_vertices.select("id", "vlabel")
+    lab = (
+        sym_eledges.join(
+            lv.select(F.col("id").alias("src"), F.col("vlabel").alias("ls")),
+            "src",
+        )
+        .join(
+            lv.select(F.col("id").alias("dst"), F.col("vlabel").alias("ld")),
+            "dst",
+        )
+    )
+    arm1 = lab.select(
+        F.col("src").alias("a"), F.col("dst").alias("b"),
+        F.col("ls").alias("la"), F.col("elabel").alias("e1"),
+        F.col("ld").alias("lb"),
+    )
+    arm2 = lab.select(
+        F.col("src").alias("b"), F.col("dst").alias("c"),
+        F.col("elabel").alias("e2"), F.col("ld").alias("lc"),
+    )
+    wedges = (
+        arm1.join(arm2, "b")
+        .filter(F.col("a") != F.col("c"))
+        .filter(
+            (F.col("la") < F.col("lc"))
+            | ((F.col("la") == F.col("lc")) & (F.col("e1") <= F.col("e2")))
+        )
+    )
+    support = (
+        wedges.groupBy("la", "e1", "lb", "e2", "lc")
+        .agg(
+            F.countDistinct("a").alias("d1"),
+            F.countDistinct("b").alias("d2"),
+            F.countDistinct("c").alias("d3"),
+        )
+        .select(
+            "la", "e1", "lb", "e2", "lc",
+            F.least("d1", "d2", "d3").alias("support"),
         )
     )
     return support.filter(F.col("support") >= minsup)

@@ -120,20 +120,39 @@ def parse_pattern(text: str, name: str = "custom") -> PatternSpec:
     return PatternSpec(name=name, n=n, edges=tuple(edges), vlabels=vlabels)
 
 
-def _matching_order(spec: PatternSpec) -> list[int]:
+def _matching_order(
+    spec: PatternSpec, cand_est: list[int] | None = None
+) -> list[int]:
     """Greedy GQL-style order (``src/query/query_plan.h:10-13``): start
     at the max-degree pattern vertex, then always extend with the
     unbound vertex having the most bound neighbors (max join
-    selectivity), ties to higher pattern degree then lower index."""
+    selectivity), ties to higher pattern degree then lower index.
+
+    With ``cand_est`` (estimated candidate-set size per pattern
+    position, from the label histogram — the GQL candidate-cardinality
+    order of ``src/query/query_plan.cc``): start at the position with
+    the FEWEST candidates, and break most-bound-neighbor ties toward
+    fewer candidates, so the seed edge and every extension carry the
+    smallest intermediate. The plan stays deterministic for a given
+    histogram; match counts are order-invariant either way.
+    """
     adj = spec.adj()
-    start = max(range(spec.n), key=lambda v: (len(adj[v]), -v))
+    if cand_est is None:
+        start = max(range(spec.n), key=lambda v: (len(adj[v]), -v))
+    else:
+        start = min(
+            range(spec.n), key=lambda v: (cand_est[v], -len(adj[v]), v)
+        )
     order = [start]
     bound = {start}
     while len(order) < spec.n:
-        nxt = max(
-            (v for v in range(spec.n) if v not in bound),
-            key=lambda v: (len(adj[v] & bound), len(adj[v]), -v),
-        )
+        if cand_est is None:
+            key = lambda v: (len(adj[v] & bound), len(adj[v]), -v)  # noqa: E731
+        else:
+            key = lambda v: (  # noqa: E731
+                len(adj[v] & bound), -cand_est[v], len(adj[v]), -v
+            )
+        nxt = max((v for v in range(spec.n) if v not in bound), key=key)
         if not adj[nxt] & bound:
             raise ValueError(f"pattern {spec.name} is disconnected")
         order.append(nxt)
@@ -159,12 +178,16 @@ class _Level:
     induced_others: tuple[int, ...]            # bound u with no edge u-new
 
 
-def _level_plan(spec: PatternSpec) -> tuple[tuple[int, int], list[_Level]]:
+def _level_plan(
+    spec: PatternSpec, cand_est: list[int] | None = None
+) -> tuple[tuple[int, int], list[_Level]]:
     """Shared planner for the Spark join plan AND the oracle SQL: the
     seed edge pair plus one _Level per remaining matching-order vertex.
-    One source of truth so constraint placement cannot diverge."""
+    One source of truth so constraint placement cannot diverge (the
+    count is order-invariant, so a cardinality-informed Spark order and
+    the static oracle order agree on results)."""
     adj = spec.adj()
-    order = _matching_order(spec)
+    order = _matching_order(spec, cand_est)
     a, b = order[0], order[1]
     levels: list[_Level] = []
     bound = [a, b]
@@ -195,21 +218,115 @@ def _level_plan(spec: PatternSpec) -> tuple[tuple[int, int], list[_Level]]:
     return (a, b), levels
 
 
+def build_candidates(
+    sym_edges: DataFrame,
+    spec: PatternSpec,
+    labeled_vertices: DataFrame,
+    pos: int,
+    deg: DataFrame | None = None,
+    nlf_df: DataFrame | None = None,
+) -> DataFrame:
+    """Filter-stage candidate set for one pattern position — the
+    reference's filter-before-enumerate (``src/query/filter.h:10-22``,
+    ``filter.cc`` NLF/GQL pruning) as composed semi-join predicates:
+
+    * label:  vlabel(v) == pattern label (when the position is labeled)
+    * degree: deg(v) ≥ pattern degree of the position
+    * NLF:    for each label ℓ appearing c times among the position's
+      labeled pattern neighbors, v has ≥ c neighbors with label ℓ
+      (``Graph::build_nlf`` consumed per candidate, ``filter.cc``)
+
+    Each predicate is a semi-join against a per-vertex table (degree /
+    NLF rows), so the filter itself is shuffle-bounded by |V| and never
+    materializes adjacency — safe at web scale.
+    """
+    from graphminer_spark.graph.build import degrees as _degrees
+    from graphminer_spark.graph.labels import nlf as _nlf
+
+    adj = spec.adj()
+    lab = spec.vlabels or tuple(None for _ in range(spec.n))
+    if deg is None:
+        deg = _degrees(sym_edges)
+    if lab[pos] is not None:
+        c = labeled_vertices.filter(
+            F.col("vlabel") == int(lab[pos])
+        ).select("id")
+    else:
+        c = deg.select("id")
+    pdeg = len(adj[pos])
+    c = c.join(
+        deg.filter(F.col("deg") >= pdeg).select("id"), "id", "left_semi"
+    )
+    req: dict[int, int] = {}
+    for q in adj[pos]:
+        if lab[q] is not None:
+            req[int(lab[q])] = req.get(int(lab[q]), 0) + 1
+    if req:
+        if nlf_df is None:
+            nlf_df = _nlf(sym_edges, labeled_vertices)
+        for lq, cnt in sorted(req.items()):
+            c = c.join(
+                nlf_df.filter(
+                    (F.col("vlabel") == lq) & (F.col("n") >= cnt)
+                ).select("id"),
+                "id",
+                "left_semi",
+            )
+    return c
+
+
 def match_embeddings(
     sym_edges: DataFrame,
     spec: PatternSpec,
     labeled_vertices: DataFrame | None = None,
     n_classes: int = 7,
+    prune: bool = True,
 ) -> DataFrame:
     """Embeddings DataFrame ``(v0 .. v{n-1})`` — one row per assignment
     satisfying edges, lt/distinctness constraints, labels, and (if
-    induced) non-edges. Pure JVM join plan; label candidate filters are
-    applied the moment a position is bound (the reference's
-    filter-before-enumerate, ``src/query/filter.h:10-13``)."""
-    (a, b), levels = _level_plan(spec)
+    induced) non-edges. Pure JVM join plan.
+
+    For labeled patterns with ``prune=True`` the full reference filter
+    stage runs first (``src/query/filter.h:10-22``): per-position
+    candidates are restricted by label AND degree AND neighborhood
+    label frequency (NLF) via :func:`build_candidates`, and the
+    matching order is chosen by estimated candidate cardinality from
+    the label histogram (``src/query/query_plan.cc`` GQL order) — the
+    enumeration joins then carry the smallest intermediates. Unlabeled
+    patterns keep the static greedy order and skip the filter stage
+    (no selectivity to exploit, and the SGL kernels' lt bounds already
+    prune).
+    """
+    labeled = spec.vlabels is not None and any(
+        l is not None for l in spec.vlabels
+    )
+    cand_est = None
+    deg = nlf_df = None
+    if labeled and prune:
+        assert labeled_vertices is not None, "labeled pattern needs vertices"
+        from graphminer_spark.graph.build import degrees as _degrees
+        from graphminer_spark.graph.labels import label_frequency
+        from graphminer_spark.graph.labels import nlf as _nlf
+
+        freq = {
+            int(r["vlabel"]): int(r["n"])
+            for r in label_frequency(labeled_vertices).collect()
+        }
+        nv = sum(freq.values())
+        cand_est = [
+            freq.get(int(l), 0) if l is not None else nv
+            for l in spec.vlabels
+        ]
+        deg = _degrees(sym_edges)
+        nlf_df = _nlf(sym_edges, labeled_vertices)
+    (a, b), levels = _level_plan(spec, cand_est)
     sym = sym_edges.select("src", "dst")
 
     def cand_ids(pos: int) -> DataFrame | None:
+        if labeled and prune:
+            return build_candidates(
+                sym, spec, labeled_vertices, pos, deg=deg, nlf_df=nlf_df
+            )
         if spec.vlabels is None or spec.vlabels[pos] is None:
             return None
         assert labeled_vertices is not None, "labeled pattern needs vertices"
@@ -261,6 +378,7 @@ def count_matches(
     spec: PatternSpec,
     labeled_vertices: DataFrame | None = None,
     alias: str | None = None,
+    prune: bool = True,
 ) -> DataFrame:
     """Subgraph count (each unordered embedding once) → single row.
 
@@ -268,7 +386,7 @@ def count_matches(
     an unlabeled/unsorted spec the ordered count divides by |Aut|.
     """
     alias = alias or f"n_{spec.name}"
-    emb = match_embeddings(sym_edges, spec, labeled_vertices)
+    emb = match_embeddings(sym_edges, spec, labeled_vertices, prune=prune)
     cnt = emb.agg(F.count("*").alias("_o"))
     if spec.lt:
         return cnt.select(F.col("_o").alias(alias))
@@ -567,7 +685,11 @@ def gks_count(
         spec = PatternSpec(
             "gks_wedge", 3, ((0, 1), (1, 2)), vlabels=(e1, center, e2)
         )
-        w = count_matches(sym_edges, spec, labeled_vertices, alias="w")
+        # prune=False: 3-vertex wedges have one enumeration level, so
+        # the NLF filter stage would cost more than it saves (×4 specs)
+        w = count_matches(
+            sym_edges, spec, labeled_vertices, alias="w", prune=False
+        )
         total = w if total is None else total.crossJoin(
             w.withColumnRenamed("w", f"w{center}")
         )
@@ -576,6 +698,7 @@ def gks_count(
         PatternSpec("gks_tri", 3, ((0, 1), (1, 2), (0, 2)), vlabels=keywords),
         labeled_vertices,
         alias="t",
+        prune=False,
     )
     cols = [c for c in total.columns]
     return (

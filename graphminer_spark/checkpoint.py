@@ -31,6 +31,18 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def materialize_with_agg(state: DataFrame, *aggs):
+    """Lazy-localCheckpoint ``state`` then run ONE aggregate job that
+    both materializes the checkpoint (truncating lineage) and returns
+    the scalar ``Row`` — one driver action where an eager save followed
+    by a collect would cost two. The building block for fused
+    supersteps (convergence delta / dangling mass / normalization sums
+    computed in the same barrier that commits the new state)."""
+    out = state.localCheckpoint(eager=False)
+    row = out.agg(*aggs).collect()[0]
+    return out, row
+
+
 class CheckpointManager:
     def __init__(self, base_dir: str | None, every: int = 5, truncate: str = "parquet"):
         """``base_dir=None`` disables durable checkpoints (pure
@@ -96,6 +108,40 @@ class CheckpointManager:
             with open(self._metrics_path(), "a") as f:
                 f.write(json.dumps(record) + "\n")
         return out
+
+    def save_and_agg(
+        self,
+        state: DataFrame,
+        iteration: int,
+        metrics: dict[str, float | int | str],
+        aggs: list,
+        force: bool = False,
+    ):
+        """Materialize ``state`` AND compute aggregate scalars in ONE
+        driver action: ``(state', Row)``.
+
+        Non-durable supersteps mark the state with a *lazy*
+        ``localCheckpoint`` and run the aggregate on it — the aggregate
+        job materializes the checkpoint blocks as a side effect, so the
+        superstep costs one barrier instead of save-then-collect's two.
+        Durable supersteps fall back to ``save`` (the parquet write is
+        itself the materializing action) plus a cheap scan of the
+        freshly written files for the aggregate.
+        """
+        durable = (
+            self.base_dir is not None
+            and self.truncate == "parquet"
+            and (force or iteration % self.every == 0)
+        )
+        if durable:
+            out = self.save(state, iteration, metrics, force=force)
+            return out, out.agg(*aggs).collect()[0]
+        out, row = materialize_with_agg(state, *aggs)
+        if self.base_dir is not None:
+            record = {"iteration": iteration, "ts": time.time(), **metrics}
+            with open(self._metrics_path(), "a") as f:
+                f.write(json.dumps(record) + "\n")
+        return out, row
 
     def log(self, iteration: int, metrics: dict[str, float | int | str]) -> None:
         """Append a metrics-only record (no state write)."""

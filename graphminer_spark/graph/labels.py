@@ -17,11 +17,30 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 N_CLASSES = 7
+N_ELABELS = 5
 
 
 def with_synthetic_labels(vertices: DataFrame, n_classes: int = N_CLASSES) -> DataFrame:
     return vertices.select(
         "id", (F.col("id") % n_classes).cast("int").alias("vlabel")
+    )
+
+
+def with_synthetic_elabels(
+    edges: DataFrame, n_elabels: int = N_ELABELS
+) -> DataFrame:
+    """Deterministic per-edge label column → ``(src, dst, elabel)``.
+
+    The reference carries an ``elabel_t`` per edge (``include/graph.h:
+    38``, loaded ``src/common/graph.cc:56-115``) and FSM's DFS codes
+    are edge-labeled tuples. ``(src + dst) % k`` is symmetric, so both
+    directions of an undirected edge derive the SAME label — the
+    labeling survives ``symmetrize`` applied before or after.
+    """
+    return edges.select(
+        "src",
+        "dst",
+        ((F.col("src") + F.col("dst")) % n_elabels).cast("int").alias("elabel"),
     )
 
 
@@ -35,8 +54,11 @@ def nlf(sym_edges: DataFrame, labeled_vertices: DataFrame) -> DataFrame:
     vertex, how many neighbors carry each label. The map form the
     reference stores per vertex is ``map_from_entries`` over these
     rows; the flat form is what joins/filters consume."""
+    # plain equi-join — no broadcast hint: the label table has one row
+    # per vertex, and a forced broadcast of an O(|V|) table is a driver
+    # kill at web scale (AQE broadcasts it anyway when it's small)
     nbr_labels = sym_edges.join(
-        F.broadcast(labeled_vertices.select(F.col("id").alias("dst"), "vlabel")),
+        labeled_vertices.select(F.col("id").alias("dst"), "vlabel"),
         "dst",
     )
     return (

@@ -463,6 +463,24 @@ FROM documents d LEFT JOIN sk ON sk.doc_id = d.doc_id
 """.strip()
 
 
+def text_stats_sql(stopwords: list[str], markers: dict[str, list[str]]) -> str:
+    """Oracle for ``quality.text_stats`` — the four per-doc oracles
+    composed as nested CTE subqueries joined on doc_id."""
+    return f"""
+WITH q AS ({quality_sql(stopwords)}),
+t AS ({TOKEN_COUNT_SQL}),
+l AS ({langid_sql(markers)}),
+f AS ({FINGERPRINT_SQL})
+SELECT q.doc_id, q.n_tokens, q.mean_token_len_bp, q.stopword_ratio_bp,
+       q.alpha_ratio_bp, t.n_pieces, l.pred_lang, l.n_hits,
+       f.content_md5, f.sketch
+FROM q
+JOIN t ON t.doc_id = q.doc_id
+JOIN l ON l.doc_id = q.doc_id
+JOIN f ON f.doc_id = q.doc_id
+""".strip()
+
+
 def minhash_sql(num_hashes: int) -> str:
     return f"""
 WITH {DOC_SHINGLES}
@@ -959,4 +977,54 @@ def fsm_edge_support_sql(minsup: int, n_classes: int = 7) -> str:
           GROUP BY 1, 2
         ) WHERE support >= {minsup}
         """
+    )
+
+
+def fsm_elabel_support_sql(
+    minsup: int, n_classes: int = 7, n_elabels: int = 5
+) -> str:
+    """Oracle for ``patterns.fsm_elabel_support``: edge-labeled
+    single-edge MNI support with elabel = (src+dst) % n_elabels."""
+    return graph_query(
+        f"""
+        SELECT la, el, lb, support FROM (
+          SELECT (src % {n_classes})::INT AS la,
+                 ((src + dst) % {n_elabels})::INT AS el,
+                 (dst % {n_classes})::INT AS lb,
+                 least(count(DISTINCT src), count(DISTINCT dst)) AS support
+          FROM sym WHERE src % {n_classes} <= dst % {n_classes}
+          GROUP BY 1, 2, 3
+        ) WHERE support >= {minsup}
+        """
+    )
+
+
+def fsm_elabel_2edge_support_sql(
+    minsup: int,
+    n_classes: int = 7,
+    n_elabels: int = 5,
+    divisor: int = 60,
+) -> str:
+    """Oracle for ``patterns.fsm_elabel_2edge_support``: edge-labeled
+    wedge MNI support, canonical (la, e1) ≤ (lc, e2)."""
+    m, k = n_classes, n_elabels
+    return graph_query(
+        f"""
+        SELECT la, e1, lb, e2, lc, support FROM (
+          SELECT (s1.src % {m})::INT AS la,
+                 ((s1.src + s1.dst) % {k})::INT AS e1,
+                 (s1.dst % {m})::INT AS lb,
+                 ((s2.src + s2.dst) % {k})::INT AS e2,
+                 (s2.dst % {m})::INT AS lc,
+                 least(count(DISTINCT s1.src), count(DISTINCT s1.dst),
+                       count(DISTINCT s2.dst)) AS support
+          FROM sym s1 JOIN sym s2 ON s1.dst = s2.src
+          WHERE s1.src <> s2.dst
+            AND (s1.src % {m} < s2.dst % {m}
+                 OR (s1.src % {m} = s2.dst % {m}
+                     AND (s1.src + s1.dst) % {k} <= (s2.src + s2.dst) % {k}))
+          GROUP BY 1, 2, 3, 4, 5
+        ) WHERE support >= {minsup}
+        """,
+        divisor=divisor,
     )

@@ -117,17 +117,19 @@ def stream_dedup_events(
     query_name: str = "dedup_events",
 ):
     """Streaming exact dedup on ``event_id`` with bounded state:
-    ``dropDuplicates`` keyed on (event_id, ts) + a watermark lets the
-    engine EVICT seen-keys older than the watermark — the property
-    that makes streaming dedup possible at 100 TB/day (an unbounded
-    seen-set would OOM any cluster). First occurrence wins; exact
-    duplicates inside the watermark horizon are dropped."""
+    ``dropDuplicatesWithinWatermark`` keyed on event_id ALONE, so a
+    re-emission of the same event_id with a different timestamp inside
+    the watermark horizon is still dropped (plain ``dropDuplicates``
+    on (event_id, ts) would keep it). The watermark lets the engine
+    EVICT seen-keys older than the horizon — the property that makes
+    streaming dedup possible at 100 TB/day (an unbounded seen-set
+    would OOM any cluster). First occurrence wins."""
     events = (
         spark.readStream.schema(schema).parquet(parquet_dir)
         .withColumn("ts", F.col("ts").cast("timestamp"))
         .withWatermark("ts", watermark)
     )
-    deduped = events.dropDuplicates(["event_id", "ts"])
+    deduped = events.dropDuplicatesWithinWatermark(["event_id"])
     return (
         deduped.writeStream.outputMode("append")
         .format("memory")

@@ -132,6 +132,24 @@ def fingerprint(docs: DataFrame, k: int = 4) -> DataFrame:
     )
 
 
+def text_stats(docs: DataFrame) -> DataFrame:
+    """Combined per-document text-analysis row — quality features +
+    word-piece count + language ID + fingerprint in one result
+    ``(doc_id, n_tokens, mean_token_len_bp, stopword_ratio_bp,
+    alpha_ratio_bp, n_pieces, pred_lang, n_hits, content_md5, sketch)``.
+
+    The per-doc expressions all fuse into scans of the documents table;
+    the joins are on the unique doc_id key (Catalyst collapses the
+    quality/token/langid branches into shared scans where possible).
+    One row per document — the single-pass profile a training-data
+    pipeline computes before filtering."""
+    q = quality_score(docs)
+    t = token_count(docs).select("doc_id", "n_pieces")
+    lang = language_id(docs)
+    fp = fingerprint(docs)
+    return q.join(t, "doc_id").join(lang, "doc_id").join(fp, "doc_id")
+
+
 def top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
     """Per-document characteristic terms: rank words by (tf desc,
     corpus-df asc, word asc) and keep the top ``k`` →

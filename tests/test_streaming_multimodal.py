@@ -177,6 +177,9 @@ def test_stream_dedup_with_watermark(spark, tmp_path):
     rows = [
         (1, base, 1, "a", 1.0, "{}"),
         (1, base, 1, "a", 1.0, "{}"),  # exact duplicate event
+        # same event_id re-emitted with a DIFFERENT ts inside the
+        # watermark — dropDuplicatesWithinWatermark drops it too
+        (1, base + dt.timedelta(minutes=1), 1, "a", 1.0, "{}"),
         (2, base + dt.timedelta(minutes=5), 1, "b", 2.0, "{}"),
         (2, base + dt.timedelta(minutes=5), 2, "b", 2.0, "{}"),  # same id+ts
     ]
