@@ -130,11 +130,12 @@ def triangle_count_csr(dag: DataFrame, num_blocks: int = 32) -> DataFrame:
     ``src/triangle/omp_base.cc:15-21`` — vectorized with
     ``np.intersect1d`` inside Arrow batches).
 
-    Used for cross-implementation agreement testing, mirroring the
-    reference's ≥2-kernels-per-workload redundancy (SURVEY §5). The
-    join variant stays the scale default (no Python in the loop); this
-    one demonstrates the CSR/pandas-UDF physical strategy with a
-    broadcast adjacency.
+    TEST-ONLY: this variant collects the whole DAG adjacency to the
+    driver and broadcasts it — acceptable only for agreement-test
+    graphs that fit one machine. It exists to mirror the reference's
+    ≥2-kernels-per-workload redundancy (SURVEY §5); ``triangle_count``
+    (the join plan, no Python, no driver collect) is the ONLY
+    production path and the one every gate/bench query uses.
 
     Output: single row ``(n_triangles: long)``.
     """
