@@ -283,6 +283,49 @@ def fsm_edge_support(
     return support.filter(F.col("support") >= minsup)
 
 
+def fsm_edge_support_approx(
+    sym_edges: DataFrame,
+    labeled_vertices: DataFrame,
+    minsup: int,
+    rsd: float = 0.02,
+) -> DataFrame:
+    """Approximate single-edge MNI support via HyperLogLog++
+    (``approx_count_distinct``) — the scale analogue of the reference's
+    early-saturating domain sets (``src/fsm/domain_support.h`` stops
+    inserting once a domain reaches minsup; HLL keeps the per-group
+    state O(1) the same way, where an exact countDistinct shuffles
+    every distinct vertex id per pattern).
+
+    At 10^9+ vertices per frequent pattern the exact distinct count is
+    the FSM bottleneck; this path trades ~rsd relative error for
+    constant-size aggregation state. Support values are approximate —
+    use for the frequent-pattern FRONTIER decision (anti-monotone
+    pruning tolerates slack) and confirm the final level exactly, which
+    is what the reference's saturation trick also implies.
+    """
+    lv = labeled_vertices
+    lab = (
+        sym_edges.join(
+            lv.select(F.col("id").alias("src"), F.col("vlabel").alias("la")),
+            "src",
+        )
+        .join(
+            lv.select(F.col("id").alias("dst"), F.col("vlabel").alias("lb")),
+            "dst",
+        )
+        .filter(F.col("la") <= F.col("lb"))
+    )
+    support = (
+        lab.groupBy("la", "lb")
+        .agg(
+            F.approx_count_distinct("src", rsd).alias("d1"),
+            F.approx_count_distinct("dst", rsd).alias("d2"),
+        )
+        .select("la", "lb", F.least("d1", "d2").alias("support"))
+    )
+    return support.filter(F.col("support") >= minsup)
+
+
 def fsm_elabel_support(
     sym_eledges: DataFrame,
     labeled_vertices: DataFrame,

@@ -67,6 +67,21 @@ def nlf(sym_edges: DataFrame, labeled_vertices: DataFrame) -> DataFrame:
     )
 
 
+def nlf_map(sym_edges: DataFrame, labeled_vertices: DataFrame) -> DataFrame:
+    """NLF in the reference's per-vertex map layout → ``(id,
+    nlf: map<int,bigint>)`` via ``map_from_entries`` over the flat rows
+    (``Graph::build_nlf`` stores exactly this shape, ``src/common/
+    graph.cc:631-643``). The flat form (:func:`nlf`) is what joins and
+    filters consume; the map form serves point lookups and checkpoint
+    snapshots of the filter stage's auxiliary structure."""
+    flat = nlf(sym_edges, labeled_vertices)
+    return flat.groupBy("id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("vlabel"), F.col("n")))
+        ).alias("nlf")
+    )
+
+
 def reverse_label_index(labeled_vertices: DataFrame) -> DataFrame:
     """``(vlabel, ids sorted array)`` — vertices grouped by label."""
     return (

@@ -252,6 +252,88 @@ def test_no_forced_broadcast_on_vertex_tables(spark):
             )
 
 
+def test_fsm_approx_support_tracks_exact(spark):
+    """HLL-based support agrees with exact MNI within the configured
+    relative error on every frequent pattern (and finds the same
+    frequent set at a slack-adjusted threshold)."""
+    from graphminer_spark.algorithms.patterns import fsm_edge_support_approx
+
+    edges = _random_graph(200, 800, 21)
+    df = edges_df(spark, edges)
+    sym = symmetrize(df, dedup=False)
+    lv = with_synthetic_labels(degrees(sym).select("id"))
+    exact = {
+        (r["la"], r["lb"]): r["support"]
+        for r in fsm_edge_support(sym, lv, minsup=1).collect()
+    }
+    approx = {
+        (r["la"], r["lb"]): r["support"]
+        for r in fsm_edge_support_approx(sym, lv, minsup=1, rsd=0.02).collect()
+    }
+    assert approx.keys() == exact.keys()
+    for k, v in exact.items():
+        assert abs(approx[k] - v) <= max(3, 0.1 * v), (k, approx[k], v)
+
+
+def test_nlf_map_matches_flat(spark):
+    from graphminer_spark.graph.labels import nlf_map
+
+    edges = _random_graph(50, 200, 6)
+    df = edges_df(spark, edges)
+    sym = symmetrize(df, dedup=False)
+    lv = with_synthetic_labels(degrees(sym).select("id"))
+    flat = defaultdict(dict)
+    for r in nlf(sym, lv).collect():
+        flat[r["id"]][r["vlabel"]] = r["n"]
+    got = {r["id"]: dict(r["nlf"]) for r in nlf_map(sym, lv).collect()}
+    assert got == dict(flat)
+
+
+# ----------------------------------------- bucketed storage (co-location)
+
+
+def test_bucketed_edges_aggregate_without_exchange(spark, tmp_path):
+    """A src-bucketed edge table feeds groupBy('src') with NO shuffle:
+    the bucket spec satisfies the required distribution (the Spark-
+    native form of the reference's one-time graph partitioning,
+    src/common/graph_partition.cc)."""
+    from graphminer_spark.graph.bucketed import (
+        load_bucketed_edges,
+        save_bucketed_edges,
+    )
+
+    edges = edges_df(spark, _random_graph(100, 400, 4))
+    save_bucketed_edges(
+        edges, "bktest_edges", n_buckets=8, path=str(tmp_path / "bk")
+    )
+    try:
+        t = load_bucketed_edges(spark, "bktest_edges")
+        deg = t.groupBy("src").count()
+        plan = _physical_plan(deg)
+        assert "Exchange" not in plan, plan
+        # and the data round-trips exactly
+        want = {
+            (r["src"], r["count"])
+            for r in edges.groupBy("src").count().collect()
+        }
+        assert {(r["src"], r["count"]) for r in deg.collect()} == want
+        # bucketed self-join on src: no SHUFFLE exchange on either side
+        # (auto-broadcast disabled — on a tiny test table the planner
+        # rightly prefers broadcast over the bucketed join, which is
+        # not the code path that matters at scale)
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            j = t.alias("a").join(t.alias("b"), "src")
+            jplan = _physical_plan(j)
+            assert "Exchange hashpartitioning" not in jplan, jplan
+            assert "BroadcastExchange" not in jplan, jplan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bktest_edges")
+
+
 # ------------------------------------------------ fused-superstep invariants
 
 
