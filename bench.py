@@ -53,10 +53,16 @@ def main() -> None:
     # single runs; best-of-N at every phase is the same treatment for
     # every query, so it cannot favor one over another)
     reps = max(1, int(os.environ.get("SPARK_GRAFT_REPS", "2")))
+    # extras were single-shot through round 2 and their rows swung 4-10x
+    # with session/JVM state (tc_approx measured 20.3 s in-bench vs
+    # 1.7 s isolated-warm) — best-of-N is the only meaningful protocol
+    # on this host, for extras too
+    extra_reps = max(1, int(os.environ.get("SPARK_GRAFT_EXTRA_REPS", "2")))
 
     def timed(name: str, fn, extra: bool = False, rep: bool = False):
         best = None
-        for r in range(reps if rep else 1):
+        n = (extra_reps if extra else reps) if (rep or extra) else 1
+        for r in range(n):
             t0 = time.monotonic()
             out = fn()
             dt = round(time.monotonic() - t0, 3)
