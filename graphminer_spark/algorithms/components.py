@@ -53,18 +53,21 @@ def _small_star(edges: DataFrame) -> DataFrame:
     return nbr_edges.unionByName(self_edges).distinct()
 
 
-def _edge_fingerprint(edges: DataFrame) -> tuple[int, int, int]:
-    """Order-insensitive content fingerprint: row count plus two
-    independent 64-bit xxhash64 sums, one per key order — a shuffle-free
-    convergence check. A false convergence needs simultaneous collision
-    of both 64-bit sums AND an unchanged row count (~2^-128 per
-    superstep), versus the single 32-bit murmur sum this replaces."""
+def _fingerprint_aggs() -> list:
+    """Order-insensitive content fingerprint aggregates: row count plus
+    two independent 64-bit xxhash64 sums, one per key order — a
+    shuffle-free convergence check. A false convergence needs
+    simultaneous collision of both 64-bit sums AND an unchanged row
+    count (~2^-128 per superstep)."""
     dec = "decimal(38,0)"  # exact sums of full-range 64-bit hashes
-    row = edges.agg(
+    return [
         F.count("*").alias("n"),
         F.coalesce(F.sum(F.xxhash64("u", "v").cast(dec)), F.lit(0)).alias("h1"),
         F.coalesce(F.sum(F.xxhash64("v", "u").cast(dec)), F.lit(0)).alias("h2"),
-    ).collect()[0]
+    ]
+
+
+def _fp_of(row) -> tuple[int, int, int]:
     return int(row["n"]), int(row["h1"]), int(row["h2"])
 
 
@@ -86,12 +89,20 @@ def connected_components(
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
-    edges = ckpt.save(edges, 0, {"algo": "cc", "phase": "init"})
-    prev_fp = _edge_fingerprint(edges)
+    # ONE action per round: the convergence fingerprint aggregates run
+    # in the same job that materializes the round's checkpointed state
+    edges, row = ckpt.save_and_agg(
+        edges, 0, {"algo": "cc", "phase": "init"}, _fingerprint_aggs()
+    )
+    prev_fp = _fp_of(row)
     for it in range(1, max_iter + 1):
-        edges = _small_star(_large_star(edges))
-        edges = ckpt.save(edges, it, {"algo": "cc", "edges": prev_fp[0]})
-        fp = _edge_fingerprint(edges)
+        edges, row = ckpt.save_and_agg(
+            _small_star(_large_star(edges)),
+            it,
+            {"algo": "cc", "edges": prev_fp[0]},
+            _fingerprint_aggs(),
+        )
+        fp = _fp_of(row)
         if fp == prev_fp:
             break
         prev_fp = fp
@@ -126,6 +137,9 @@ def cc_hashmin(
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min("component").alias("nbr_min"))
         )
+        # carry prev inside the state; changed-count rides the
+        # materializing aggregate — ONE action per round, and no
+        # new⋈old join (which recomputed the superstep a second time)
         new = (
             labels.join(nbr_min, "id", "left")
             .select(
@@ -133,15 +147,21 @@ def cc_hashmin(
                 F.least(
                     "component", F.coalesce("nbr_min", F.col("component"))
                 ).alias("component"),
+                F.col("component").alias("prev"),
             )
         )
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
+        state, row = ckpt.save_and_agg(
+            new,
+            it,
+            {"algo": "cc_hashmin"},
+            [
+                F.sum(
+                    F.when(F.col("component") != F.col("prev"), 1).otherwise(0)
+                ).alias("changed")
+            ],
         )
-        labels = ckpt.save(new, it, {"algo": "cc_hashmin", "changed": changed})
+        changed = int(row["changed"] or 0)
+        labels = state.select("id", "component")
         if changed == 0:
             break
     return labels
@@ -180,12 +200,15 @@ def bfs_distances(
             .groupBy("id")
             .agg(F.min("dist").alias("dist"))
         )
-        new_d = ckpt.save(new_d, it, {"algo": "bfs"})
-        row = new_d.agg(
-            F.count("*").alias("n"), F.sum("dist").alias("s")
-        ).collect()[0]
+        # fixpoint signature rides the materializing aggregate — ONE
+        # action per round
+        d, row = ckpt.save_and_agg(
+            new_d,
+            it,
+            {"algo": "bfs"},
+            [F.count("*").alias("n"), F.sum("dist").alias("s")],
+        )
         sig = (row["n"], row["s"] or 0)
-        d = new_d
         if sig == prev_sig:
             break
         prev_sig = sig

@@ -27,9 +27,13 @@ def kcore(
 ) -> DataFrame:
     """Vertices of the k-core → ``(id,)``."""
     ckpt = checkpointer or CheckpointManager(None)
-    edges = sym_edges.select("src", "dst")
-    edges = ckpt.save(edges, 0, {"algo": f"kcore{k}"})
-    old_n = edges.count()  # one action per round: carry the old count
+    # ONE action per round: the fixpoint check (edge count unchanged)
+    # rides the same aggregate that materializes the round's state
+    edges, row = ckpt.save_and_agg(
+        sym_edges.select("src", "dst"), 0, {"algo": f"kcore{k}"},
+        [F.count("*").alias("n")],
+    )
+    old_n = row["n"]
     for it in range(1, max_iter + 1):
         deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
         keep = deg.filter(F.col("deg") >= k).select("src")
@@ -37,9 +41,10 @@ def kcore(
             edges.join(keep, "src", "left_semi")
             .join(keep.select(F.col("src").alias("dst")), "dst", "left_semi")
         )
-        new_edges = ckpt.save(new_edges, it, {"algo": f"kcore{k}"})
-        new_n = new_edges.count()
-        edges = new_edges
+        edges, row = ckpt.save_and_agg(
+            new_edges, it, {"algo": f"kcore{k}"}, [F.count("*").alias("n")]
+        )
+        new_n = row["n"]
         if new_n == old_n:
             break
         old_n = new_n
@@ -93,15 +98,24 @@ def core_numbers_hindex(
             .groupBy(F.col("src").alias("id"))
             .agg(F.max(F.least("core", "cum")).alias("h"))
         )
-        # h(v) can only decrease; carry prev inside the state so the
-        # convergence check is a scan (same fusion as pagerank/LP)
+        # h(v) can only decrease; carry prev inside the state AND fold
+        # the changed-count into the materializing aggregate — ONE
+        # driver action per round (same fusion as pagerank)
         new_c = c.join(h, "id").select(
             "id", F.col("h").alias("core"), F.col("core").alias("prev")
         )
-        new_c = ckpt.save(new_c, it, {"algo": "coreness_hindex"})
-        changed = new_c.filter(F.col("core") != F.col("prev")).count()
+        new_c, row = ckpt.save_and_agg(
+            new_c,
+            it,
+            {"algo": "coreness_hindex"},
+            [
+                F.sum(
+                    F.when(F.col("core") != F.col("prev"), 1).otherwise(0)
+                ).alias("changed")
+            ],
+        )
         c = new_c.select("id", "core")
-        if changed == 0:
+        if not row["changed"]:
             break
     return c
 

@@ -71,10 +71,21 @@ def label_propagation(
                 F.coalesce("new_label", F.col("label")).alias("label"),
                 F.col("label").alias("prev_label"),
             )
-            labels = ckpt.save(new, it, {"algo": "lp"})
-            changed = labels.filter(
-                F.col("label") != F.col("prev_label")
-            ).count()
+            # ONE action: the changed-count aggregate materializes the
+            # lazily-checkpointed state (save_and_agg fusion)
+            labels, row = ckpt.save_and_agg(
+                new,
+                it,
+                {"algo": "lp"},
+                [
+                    F.sum(
+                        F.when(
+                            F.col("label") != F.col("prev_label"), 1
+                        ).otherwise(0)
+                    ).alias("changed")
+                ],
+            )
+            changed = int(row["changed"] or 0)
             changed_hist.append(changed)
             ckpt.log(it, {"algo": "lp", "changed": changed})
             if changed == 0:
