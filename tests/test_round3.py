@@ -387,6 +387,39 @@ def test_pangolin_frequent_filter(spark):
         assert 3 <= r["support"] <= nv
 
 
+# --------------------------------------- engine-wide no-per-row-Python sweep
+
+
+def test_gate_queries_have_no_per_row_python(spark):
+    """Every non-iterative gate query's physical plan is free of
+    BatchEvalPython (row-at-a-time Python — the north-rule
+    prohibition). Arrow-vectorized exchange (ArrowEvalPython /
+    FlatMapGroupsInPandas / MapInPandas, used by the multimodal and
+    CSR paths) is the sanctioned Python boundary."""
+    import __spark_entry__ as entry_mod
+
+    sf = "/root/testdata/sf0.001"
+    # plan-only build: excludes queries that execute during
+    # construction (iterative loops, eagerly-materialized pattern
+    # aggregates) — their kernels are plan-checked elsewhere
+    skip_prefixes = (
+        "pagerank", "ppr", "wpr", "hits", "cc_", "lp_", "graph_kcore",
+        "graph_coreness", "graph_bfs", "pattern_counts", "motif4",
+        "motif5", "fsm_2edge", "fsm_3edge", "query_labeled", "gks",
+        "dyn_tri",
+    )
+    qs = entry_mod.queries()
+    checked = 0
+    for name, fn in qs.items():
+        if any(name.startswith(p) for p in skip_prefixes):
+            continue
+        df = fn(spark, sf)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan, name
+        checked += 1
+    assert checked >= 40
+
+
 # ------------------------------------------------ fused-superstep invariants
 
 
