@@ -65,9 +65,14 @@ def hits(
             .groupBy(F.col("src").alias("id"))
             .agg(F.sum("auth").alias("h_raw"))
         )
-        full, row = materialize_with_agg(
+        # full step goes through the CheckpointManager so durable
+        # cadence still lands parquet states (the saved layout carries
+        # the UNnormalized h_raw + its sum is re-derivable by scan)
+        full, row = ckpt.save_and_agg(
             with_auth.select("id", "auth").join(hub_raw, "id", "left"),
-            F.sum("h_raw").alias("s"),
+            it,
+            {"algo": "hits"},
+            [F.sum("h_raw").alias("s")],
         )
         h_sum = row["s"] or 1.0
         state = full.select(
@@ -75,7 +80,6 @@ def hits(
             (F.coalesce("h_raw", F.lit(0.0)) / h_sum).alias("hub"),
             "auth",
         )
-        ckpt.log(it, {"algo": "hits"})
     verts.unpersist()
     e.unpersist()
     return state

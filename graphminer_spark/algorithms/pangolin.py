@@ -116,30 +116,41 @@ def _mask_atlas(k: int) -> dict[int, str]:
     return out
 
 
-def pattern_histogram(embeddings: DataFrame, sym_edges: DataFrame, k: int) -> DataFrame:
-    """The ``reduce`` step: classify each k-set by its induced pattern
-    → ``(pattern: string, n: long)`` rows (quick-pattern bitmask →
-    canonical aggregation, ``miner.h`` role)."""
-    spark = embeddings.sparkSession
-    pos = embeddings.select(
-        "vs", F.posexplode("vs").alias("i", "va")
-    )
+def _set_masks(embeddings: DataFrame, sym_edges: DataFrame, k: int) -> DataFrame:
+    """Quick-pattern bitmask per k-set → ``(vs, mask)``: probe each of
+    the C(k,2) position pairs against the (deduplicated) edge table and
+    fold hits into an induced-adjacency bitmask. Shared by
+    :func:`pattern_histogram` and :func:`mine_frequent` so the probe
+    semantics cannot diverge."""
+    pos = embeddings.select("vs", F.posexplode("vs").alias("i", "va"))
     pairs = (
         pos.select("vs", "i", "va", F.posexplode("vs").alias("j", "vb"))
         .filter(F.col("i") < F.col("j"))
     )
+    # distinct: a duplicate (or reciprocal-duplicate) edge row would
+    # join twice and add 2·2^pidx to the sum, corrupting the mask —
+    # the engine must accept non-canonical symmetric inputs
     e = (
         sym_edges.select(F.col("src").alias("va"), F.col("dst").alias("vb"))
+        .distinct()
         .withColumn("is_e", F.lit(1))
     )
     probed = pairs.join(e, ["va", "vb"], "left").withColumn(
         "pidx", _pair_index_expr(k)
     )
-    masks = probed.groupBy("vs").agg(
+    return probed.groupBy("vs").agg(
         F.sum(
             F.coalesce("is_e", F.lit(0)) * F.expr("shiftleft(1L, pidx)")
         ).alias("mask")
     )
+
+
+def pattern_histogram(embeddings: DataFrame, sym_edges: DataFrame, k: int) -> DataFrame:
+    """The ``reduce`` step: classify each k-set by its induced pattern
+    → ``(pattern: string, n: long)`` rows (quick-pattern bitmask →
+    canonical aggregation, ``miner.h`` role)."""
+    spark = embeddings.sparkSession
+    masks = _set_masks(embeddings, sym_edges, k)
     atlas = spark.createDataFrame(
         list(_mask_atlas(k).items()), "mask long, pattern string"
     )
@@ -185,25 +196,7 @@ def mine_frequent(
         .groupBy("vs")
         .agg(F.array_sort(F.collect_list("vlabel")).alias("labels"))
     )
-    pos = emb.select("vs", F.posexplode("vs").alias("i", "va"))
-    pairs = (
-        pos.select("vs", "i", "va", F.posexplode("vs").alias("j", "vb"))
-        .filter(F.col("i") < F.col("j"))
-    )
-    e = (
-        sym_edges.select(F.col("src").alias("va"), F.col("dst").alias("vb"))
-        .withColumn("is_e", F.lit(1))
-    )
-    masks = (
-        pairs.join(e, ["va", "vb"], "left")
-        .withColumn("pidx", _pair_index_expr(k))
-        .groupBy("vs")
-        .agg(
-            F.sum(
-                F.coalesce("is_e", F.lit(0)) * F.expr("shiftleft(1L, pidx)")
-            ).alias("mask")
-        )
-    )
+    masks = _set_masks(emb, sym_edges, k)
     atlas = emb.sparkSession.createDataFrame(
         list(_mask_atlas(k).items()), "mask long, pattern string"
     )

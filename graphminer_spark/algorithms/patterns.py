@@ -21,6 +21,21 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _labeled_sym(sym_edges: DataFrame, labeled_vertices: DataFrame) -> DataFrame:
+    """Symmetric edges with endpoint labels → input columns + ``(ls,
+    ld)``. The single shared subplan every FSM kernel builds on (plain
+    equi-joins — AQE broadcasts the label table when small, never
+    forced)."""
+    lv = labeled_vertices.select("id", "vlabel")
+    return sym_edges.join(
+        lv.select(F.col("id").alias("src"), F.col("vlabel").alias("ls")),
+        "src",
+    ).join(
+        lv.select(F.col("id").alias("dst"), F.col("vlabel").alias("ld")),
+        "dst",
+    )
+
+
 def clique_count(dag: DataFrame, k: int) -> DataFrame:
     """Count k-cliques (k ≥ 3) over the degree-ordered DAG → single row
     ``(n_kcliques: long)``. Each level's join keys are the full current
@@ -92,14 +107,7 @@ def fsm_2edge_support(
     against the level-1 result) — a pure optimization; final supports
     are unchanged by anti-monotonicity.
     """
-    lv = labeled_vertices.select("id", "vlabel")
-    lab = (
-        sym_edges.join(
-            lv.select(F.col("id").alias("src"), F.col("vlabel").alias("ls")), "src"
-        ).join(
-            lv.select(F.col("id").alias("dst"), F.col("vlabel").alias("ld")), "dst"
-        )
-    ).persist()
+    lab = _labeled_sym(sym_edges, labeled_vertices).persist()
     freq1 = (
         fsm_edge_support(sym_edges, labeled_vertices, minsup)
         .select(F.col("la").alias("_fa"), F.col("lb").alias("_fb"))
@@ -161,14 +169,8 @@ def fsm_3edge_support(
     domains, ≥ minsup. Star positions: (center, leaf₁..₃); path
     positions: the 4 path vertices in order.
     """
-    lv = labeled_vertices.select("id", "vlabel")
-
-    def lab(side: str, as_: str):
-        return lv.select(F.col("id").alias(side), F.col("vlabel").alias(as_))
-
     e = (
-        sym_edges.join(lab("src", "ls"), "src")
-        .join(lab("dst", "ld"), "dst")
+        _labeled_sym(sym_edges, labeled_vertices)
         .select("src", "dst", "ls", "ld")
         .persist()
     )
@@ -261,11 +263,9 @@ def fsm_edge_support(
     embeddings — the anti-monotone support the reference uses
     (``src/fsm/domain_support.h``).
     """
-    # one row per vertex — never force-broadcast (AQE decides)
-    lv = labeled_vertices
     lab = (
-        sym_edges.join(lv.select(F.col("id").alias("src"), F.col("vlabel").alias("la")), "src")
-        .join(lv.select(F.col("id").alias("dst"), F.col("vlabel").alias("lb")), "dst")
+        _labeled_sym(sym_edges, labeled_vertices)
+        .select("src", "dst", F.col("ls").alias("la"), F.col("ld").alias("lb"))
         .filter(F.col("la") <= F.col("lb"))
     )
     support = (
@@ -303,16 +303,9 @@ def fsm_edge_support_approx(
     pruning tolerates slack) and confirm the final level exactly, which
     is what the reference's saturation trick also implies.
     """
-    lv = labeled_vertices
     lab = (
-        sym_edges.join(
-            lv.select(F.col("id").alias("src"), F.col("vlabel").alias("la")),
-            "src",
-        )
-        .join(
-            lv.select(F.col("id").alias("dst"), F.col("vlabel").alias("lb")),
-            "dst",
-        )
+        _labeled_sym(sym_edges, labeled_vertices)
+        .select("src", "dst", F.col("ls").alias("la"), F.col("ld").alias("lb"))
         .filter(F.col("la") <= F.col("lb"))
     )
     support = (
@@ -345,15 +338,11 @@ def fsm_elabel_support(
     (``src/fsm/domain_support.h``). One shuffle (the groupBy); the
     vertex-label joins are plain equi-joins AQE may broadcast.
     """
-    lv = labeled_vertices.select("id", "vlabel")
     lab = (
-        sym_eledges.join(
-            lv.select(F.col("id").alias("src"), F.col("vlabel").alias("la")),
-            "src",
-        )
-        .join(
-            lv.select(F.col("id").alias("dst"), F.col("vlabel").alias("lb")),
-            "dst",
+        _labeled_sym(sym_eledges, labeled_vertices)
+        .select(
+            "src", "dst", "elabel",
+            F.col("ls").alias("la"), F.col("ld").alias("lb"),
         )
         .filter(F.col("la") <= F.col("lb"))
     )
@@ -388,17 +377,7 @@ def fsm_elabel_2edge_support(
     patterns both orientations survive and the arm positions' domains
     union, exactly MNI (``src/fsm/domain_support.h``).
     """
-    lv = labeled_vertices.select("id", "vlabel")
-    lab = (
-        sym_eledges.join(
-            lv.select(F.col("id").alias("src"), F.col("vlabel").alias("ls")),
-            "src",
-        )
-        .join(
-            lv.select(F.col("id").alias("dst"), F.col("vlabel").alias("ld")),
-            "dst",
-        )
-    )
+    lab = _labeled_sym(sym_eledges, labeled_vertices)
     arm1 = lab.select(
         F.col("src").alias("a"), F.col("dst").alias("b"),
         F.col("ls").alias("la"), F.col("elabel").alias("e1"),

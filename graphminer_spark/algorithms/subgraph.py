@@ -280,29 +280,37 @@ def match_embeddings(
     spec: PatternSpec,
     labeled_vertices: DataFrame | None = None,
     n_classes: int = 7,
-    prune: bool = True,
+    prune: bool | str = "auto",
+    skew_threshold: float = 4.0,
 ) -> DataFrame:
     """Embeddings DataFrame ``(v0 .. v{n-1})`` — one row per assignment
     satisfying edges, lt/distinctness constraints, labels, and (if
     induced) non-edges. Pure JVM join plan.
 
-    For labeled patterns with ``prune=True`` the full reference filter
-    stage runs first (``src/query/filter.h:10-22``): per-position
-    candidates are restricted by label AND degree AND neighborhood
-    label frequency (NLF) via :func:`build_candidates`, and the
-    matching order is chosen by estimated candidate cardinality from
-    the label histogram (``src/query/query_plan.cc`` GQL order) — the
-    enumeration joins then carry the smallest intermediates. Unlabeled
-    patterns keep the static greedy order and skip the filter stage
-    (no selectivity to exploit, and the SGL kernels' lt bounds already
-    prune).
+    For labeled patterns the reference's filter stage
+    (``src/query/filter.h:10-22``) can run first: per-position
+    candidates restricted by label AND degree AND neighborhood label
+    frequency (NLF) via :func:`build_candidates`, with the matching
+    order chosen by estimated candidate cardinality from the label
+    histogram (``src/query/query_plan.cc`` GQL order). The stage costs
+    ~a dozen extra semi-join shuffles, so ``prune="auto"`` (default)
+    enables it ONLY when the label histogram is skewed
+    (max/min frequency ≥ ``skew_threshold``) — on uniform labels the
+    label filter alone already captures all the selectivity and the
+    stage is measured pure overhead (BENCH/BASELINE.md). The
+    cardinality-informed matching order is kept in every labeled mode
+    (it costs one 7-row collect). ``prune=True``/``False`` force the
+    stage on/off (the reference similarly makes its filter strategy a
+    per-query choice, GQL/CFL/DPiso/...). Unlabeled patterns keep the
+    static greedy order and skip filtering entirely.
     """
     labeled = spec.vlabels is not None and any(
         l is not None for l in spec.vlabels
     )
     cand_est = None
     deg = nlf_df = None
-    if labeled and prune:
+    use_filters = False
+    if labeled and prune is not False:
         assert labeled_vertices is not None, "labeled pattern needs vertices"
         from graphminer_spark.graph.build import degrees as _degrees
         from graphminer_spark.graph.labels import label_frequency
@@ -317,13 +325,28 @@ def match_embeddings(
             freq.get(int(l), 0) if l is not None else nv
             for l in spec.vlabels
         ]
-        deg = _degrees(sym_edges)
-        nlf_df = _nlf(sym_edges, labeled_vertices)
+        skew = (
+            max(freq.values()) / max(1, min(freq.values())) if freq else 1.0
+        )
+        use_filters = prune is True or (
+            prune == "auto" and skew >= skew_threshold
+        )
+        if use_filters:
+            # materialize the per-vertex filter tables ONCE: every
+            # position issues several semi-joins against them, and
+            # without truncation Catalyst pushes each vlabel filter
+            # below the aggregate's exchange — different exchanges, no
+            # ReuseExchange, so the O(|E|) NLF build would recompute
+            # per semi-join
+            deg = _degrees(sym_edges).localCheckpoint(eager=True)
+            nlf_df = _nlf(sym_edges, labeled_vertices).localCheckpoint(
+                eager=True
+            )
     (a, b), levels = _level_plan(spec, cand_est)
     sym = sym_edges.select("src", "dst")
 
     def cand_ids(pos: int) -> DataFrame | None:
-        if labeled and prune:
+        if labeled and use_filters:
             return build_candidates(
                 sym, spec, labeled_vertices, pos, deg=deg, nlf_df=nlf_df
             )
@@ -378,7 +401,7 @@ def count_matches(
     spec: PatternSpec,
     labeled_vertices: DataFrame | None = None,
     alias: str | None = None,
-    prune: bool = True,
+    prune: bool | str = "auto",
 ) -> DataFrame:
     """Subgraph count (each unordered embedding once) → single row.
 

@@ -65,6 +65,15 @@ class CheckpointManager:
         return os.path.join(self.base_dir, "metrics.jsonl")
 
     # ------------------------------------------------------------- save
+    def _durable(self, iteration: int, force: bool) -> bool:
+        """Single source of truth for the durable-checkpoint cadence
+        (shared by save and save_and_agg so they can never drift)."""
+        return (
+            self.base_dir is not None
+            and self.truncate == "parquet"
+            and (force or iteration % self.every == 0)
+        )
+
     def save(
         self,
         state: DataFrame,
@@ -74,12 +83,7 @@ class CheckpointManager:
     ) -> DataFrame:
         """Persist state if due, log metrics, return lineage-truncated
         state DataFrame."""
-        durable = (
-            self.base_dir is not None
-            and self.truncate == "parquet"
-            and (force or iteration % self.every == 0)
-        )
-        if durable:
+        if self._durable(iteration, force):
             path = self._iter_dir(iteration)
             state.write.mode("overwrite").parquet(path)
             out = state.sparkSession.read.parquet(path)
@@ -128,12 +132,7 @@ class CheckpointManager:
         itself the materializing action) plus a cheap scan of the
         freshly written files for the aggregate.
         """
-        durable = (
-            self.base_dir is not None
-            and self.truncate == "parquet"
-            and (force or iteration % self.every == 0)
-        )
-        if durable:
+        if self._durable(iteration, force):
             out = self.save(state, iteration, metrics, force=force)
             return out, out.agg(*aggs).collect()[0]
         out, row = materialize_with_agg(state, *aggs)

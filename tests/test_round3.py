@@ -193,6 +193,30 @@ def test_pruning_preserves_labeled_counts(spark, seed):
         assert a == b, spec.name
 
 
+def test_auto_prune_on_skewed_labels_matches_unpruned(spark):
+    """prune='auto' engages the filter stage on a skewed label
+    histogram and still returns exactly the unpruned count."""
+    edges = _random_graph(60, 240, 13)
+    df = edges_df(spark, edges)
+    sym = symmetrize(df, dedup=False)
+    verts = degrees(sym).select("id")
+    # skewed labels: classes 0..5 are rare (ids ≡ k mod 37), class 6
+    # holds the bulk — max/min frequency ratio far above the threshold
+    lv = verts.select(
+        "id",
+        F.when(F.col("id") % 37 < 6, (F.col("id") % 37).cast("int"))
+        .otherwise(F.lit(6))
+        .cast("int")
+        .alias("vlabel"),
+    )
+    spec = PatternSpec(
+        "skew_wedge3", 4, ((0, 1), (1, 2), (2, 3)), vlabels=(0, 6, 6, 1)
+    )
+    auto = count_matches(sym, spec, lv, prune="auto").collect()[0][0]
+    off = count_matches(sym, spec, lv, prune=False).collect()[0][0]
+    assert auto == off
+
+
 def test_candidate_filter_shrinks_enumeration_input(spark):
     """On a selective labeled fixture the NLF/degree candidate set is
     strictly smaller than the label-only candidate set (the reference
@@ -250,6 +274,10 @@ def test_no_forced_broadcast_on_vertex_tables(spark):
             spark.conf.set(
                 "spark.sql.adaptive.autoBroadcastJoinThreshold", old_aqe
             )
+        else:
+            # don't leak the disabled AQE threshold into the shared
+            # session fixture — later tests' plans depend on it
+            spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
 
 
 def test_fsm_approx_support_tracks_exact(spark):
