@@ -239,6 +239,32 @@ def _q_clique7(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clique_count(build_dag(tpch_edges(spark, sf_dir)), 7)
 
 
+def _q_clique8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return clique_count(build_dag(tpch_edges(spark, sf_dir)), 8)
+
+
+def _q_clique9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # top of the reference's published k range; the gate graph's max
+    # clique is below 7, so k=8/9 certify agreeing exhaustion (the
+    # reference's own tables have the same empty tail for most graphs);
+    # nonzero chains are pinned on citeseer in pytest
+    return clique_count(build_dag(tpch_edges(spark, sf_dir)), 9)
+
+
+def _q_rev_label_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # reverse label index (graph.cc:566-588): vertices grouped by
+    # label; the sorted id array renders as a joined string for exact
+    # cross-engine hashing
+    from graphminer_spark.graph.labels import reverse_label_index
+
+    _, _, verts = _graph_vertices(spark, sf_dir)
+    out = reverse_label_index(with_synthetic_labels(verts))
+    return out.select(
+        "vlabel",
+        F.array_join(F.col("ids").cast("array<string>"), ",").alias("ids_s"),
+    )
+
+
 def _q_labeled_tri(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges, _, verts = _graph_vertices(spark, sf_dir)
     lv = with_synthetic_labels(verts)
@@ -788,6 +814,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         },
         "clique4_total": _q_clique4,
         "clique5_total": _q_clique5,
+        "clique8_total": _q_clique8,
+        "clique9_total": _q_clique9,
+        "graph_rev_label_index": _q_rev_label_index,
         "emb_neardup": _q_emb_neardup,
         "docs_minhash_sigs": _q_minhash,
         "docs_simhash": _q_simhash,
@@ -904,6 +933,13 @@ def oracle_sql() -> dict[str, str]:
         "clique5_total": clique_sql(5),
         "clique6_total": clique_sql(6),
         "clique7_total": clique_sql(7),
+        "clique8_total": clique_sql(8),
+        "clique9_total": clique_sql(9),
+        "graph_rev_label_index": graph_query(
+            "SELECT (id % 7)::INT AS vlabel, "
+            "string_agg(id::VARCHAR, ',' ORDER BY id) AS ids_s "
+            "FROM deg GROUP BY 1"
+        ),
         "labeled_tri_count": labeled_tri_sql(0, 1, 2),
         "fsm_edge_support": fsm_edge_support_sql(130),
         "fsm_elabel_support": fsm_elabel_support_sql(FSM_EL_MINSUP),
