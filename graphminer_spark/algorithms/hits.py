@@ -23,7 +23,15 @@ def hits(
 ) -> DataFrame:
     """``(id, hub, auth)`` after ``n_iter`` HITS iterations over the
     directed ``edges(src, dst)``; both score vectors L1-normalize to
-    1.0 every half-step (the convergent formulation)."""
+    1.0 every half-step (the convergent formulation).
+
+    Durable-checkpoint layout NOTE: the fused superstep saves the
+    full-step state as ``(id, auth, h_raw)`` — ``h_raw`` UNnormalized
+    (its sum is computed in the same materializing aggregate). A
+    consumer resuming from ``CheckpointManager.latest()`` derives
+    ``hub = h_raw / sum(h_raw)`` with one scan; this differs from the
+    ``(id, hub, auth)`` return layout, unlike the other algorithms
+    whose saved state matches their output schema."""
     from graphminer_spark.checkpoint import materialize_with_agg
 
     ckpt = checkpointer or CheckpointManager(None)

@@ -36,7 +36,7 @@ goldens, mirroring the reference's Pangolin-vs-AutoMine agreement.
 
 from __future__ import annotations
 
-from itertools import combinations, permutations
+from itertools import combinations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -81,38 +81,28 @@ def _pair_index_expr(k: int):
 
 def _mask_atlas(k: int) -> dict[int, str]:
     """bitmask over C(k,2) position pairs → canonical pattern name
-    (``connected_graphs`` naming), for connected masks only."""
-    from graphminer_spark.algorithms.subgraph import connected_graphs
+    (``connected_graphs`` naming), for connected masks only. Uses the
+    SAME canonicalization/connectivity helpers as the atlas itself
+    (``subgraph.canonical_edge_form``), so the lookup cannot drift."""
+    from graphminer_spark.algorithms.subgraph import (
+        canonical_edge_form,
+        connected_graphs,
+        edgeset_connected,
+    )
 
     pairs = list(combinations(range(k), 2))
-
-    def canon_of(edges) -> tuple:
-        return min(
-            tuple(sorted(tuple(sorted((p[a], p[b]))) for a, b in edges))
-            for p in permutations(range(k))
-        )
-
     canon_name: dict[tuple, str] = {
-        canon_of(spec.edges): spec.name for spec in connected_graphs(k)
+        canonical_edge_form(spec.edges, k): spec.name
+        for spec in connected_graphs(k)
     }
     out: dict[int, str] = {}
     for mask in range(1 << len(pairs)):
-        edges = [pairs[t] for t in range(len(pairs)) if mask & (1 << t)]
-        # connectivity
-        adj = {v: set() for v in range(k)}
-        for a, b in edges:
-            adj[a].add(b)
-            adj[b].add(a)
-        seen, todo = {0}, [0]
-        while todo:
-            x = todo.pop()
-            for y in adj[x]:
-                if y not in seen:
-                    seen.add(y)
-                    todo.append(y)
-        if len(seen) != k:
+        edges = tuple(
+            pairs[t] for t in range(len(pairs)) if mask & (1 << t)
+        )
+        if not edgeset_connected(edges, k):
             continue
-        out[mask] = canon_name[canon_of(edges)]
+        out[mask] = canon_name[canonical_edge_form(edges, k)]
     return out
 
 
@@ -161,16 +151,22 @@ def pattern_histogram(embeddings: DataFrame, sym_edges: DataFrame, k: int) -> Da
     )
 
 
+def grow(sym_edges: DataFrame, k: int) -> DataFrame:
+    """The level loop: edges → connected k-sets (k−2 extend levels).
+    Shared by both mining entry points."""
+    emb = initial_embeddings(sym_edges)
+    for _ in range(k - 2):
+        emb = extend_sets(emb, sym_edges)
+    return emb
+
+
 def mine_motifs(sym_edges: DataFrame, k: int) -> DataFrame:
     """End-to-end Pangolin-style k-motif census: level loop from edges
     to k-sets, then pattern reduction → ``(pattern, n)`` — the generic
     engine's answer to ``motif_counts_induced`` (cross-checked in
     pytest; the specialized formula/matcher plans stay the production
     path)."""
-    emb = initial_embeddings(sym_edges)
-    for _ in range(k - 2):
-        emb = extend_sets(emb, sym_edges)
-    return pattern_histogram(emb, sym_edges, k)
+    return pattern_histogram(grow(sym_edges, k), sym_edges, k)
 
 
 def mine_frequent(
@@ -184,9 +180,11 @@ def mine_frequent(
     and keep classes whose MNI-style support (distinct vertex count
     per class, the set-semantics analogue) reaches ``minsup`` →
     ``(pattern, labels, support)``."""
-    emb = initial_embeddings(sym_edges)
-    for _ in range(k - 2):
-        emb = extend_sets(emb, sym_edges)
+    # the embedding level feeds TWO join branches (label multiset +
+    # quick-pattern mask); Spark has no cross-branch common-subplan
+    # reuse, so materialize the level once or the whole extend chain
+    # runs twice
+    emb = grow(sym_edges, k).localCheckpoint(eager=True)
     lv = labeled_vertices.select(
         F.col("id").alias("w"), F.col("vlabel")
     )

@@ -254,6 +254,7 @@ def fsm_edge_support(
     sym_edges: DataFrame,
     labeled_vertices: DataFrame,
     minsup: int,
+    _approx_rsd: float | None = None,
 ) -> DataFrame:
     """Frequent single-edge patterns by MNI domain support →
     ``(la, lb, support)`` with la ≤ lb, support ≥ minsup.
@@ -261,8 +262,15 @@ def fsm_edge_support(
     MNI support of pattern (la)-(lb) = min(|distinct u mapped to
     position la|, |distinct v mapped to position lb|) over all edge
     embeddings — the anti-monotone support the reference uses
-    (``src/fsm/domain_support.h``).
+    (``src/fsm/domain_support.h``). ``_approx_rsd`` switches the
+    domain counts to HyperLogLog (see :func:`fsm_edge_support_approx`).
     """
+    if _approx_rsd is None:
+        d1 = F.countDistinct("src").alias("d1")
+        d2 = F.countDistinct("dst").alias("d2")
+    else:
+        d1 = F.approx_count_distinct("src", _approx_rsd).alias("d1")
+        d2 = F.approx_count_distinct("dst", _approx_rsd).alias("d2")
     lab = (
         _labeled_sym(sym_edges, labeled_vertices)
         .select("src", "dst", F.col("ls").alias("la"), F.col("ld").alias("lb"))
@@ -270,10 +278,7 @@ def fsm_edge_support(
     )
     support = (
         lab.groupBy("la", "lb")
-        .agg(
-            F.countDistinct("src").alias("d1"),
-            F.countDistinct("dst").alias("d2"),
-        )
+        .agg(d1, d2)
         .select(
             "la",
             "lb",
@@ -302,21 +307,12 @@ def fsm_edge_support_approx(
     use for the frequent-pattern FRONTIER decision (anti-monotone
     pruning tolerates slack) and confirm the final level exactly, which
     is what the reference's saturation trick also implies.
+
+    Delegates to :func:`fsm_edge_support` — one body, two aggregators.
     """
-    lab = (
-        _labeled_sym(sym_edges, labeled_vertices)
-        .select("src", "dst", F.col("ls").alias("la"), F.col("ld").alias("lb"))
-        .filter(F.col("la") <= F.col("lb"))
+    return fsm_edge_support(
+        sym_edges, labeled_vertices, minsup, _approx_rsd=rsd
     )
-    support = (
-        lab.groupBy("la", "lb")
-        .agg(
-            F.approx_count_distinct("src", rsd).alias("d1"),
-            F.approx_count_distinct("dst", rsd).alias("d2"),
-        )
-        .select("la", "lb", F.least("d1", "d2").alias("support"))
-    )
-    return support.filter(F.col("support") >= minsup)
 
 
 def fsm_elabel_support(

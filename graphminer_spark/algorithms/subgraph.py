@@ -282,6 +282,7 @@ def match_embeddings(
     n_classes: int = 7,
     prune: bool | str = "auto",
     skew_threshold: float = 4.0,
+    _aux: list | None = None,
 ) -> DataFrame:
     """Embeddings DataFrame ``(v0 .. v{n-1})`` — one row per assignment
     satisfying edges, lt/distinctness constraints, labels, and (if
@@ -337,11 +338,20 @@ def match_embeddings(
             # without truncation Catalyst pushes each vlabel filter
             # below the aggregate's exchange — different exchanges, no
             # ReuseExchange, so the O(|E|) NLF build would recompute
-            # per semi-join
-            deg = _degrees(sym_edges).localCheckpoint(eager=True)
-            nlf_df = _nlf(sym_edges, labeled_vertices).localCheckpoint(
-                eager=True
-            )
+            # per semi-join. Lifecycle: with `_aux` the caller owns
+            # unpersisting (count_matches releases them the moment its
+            # single-row result materializes); without it,
+            # localCheckpoint blocks are reclaimed by the
+            # ContextCleaner once the returned plan is dropped.
+            deg = _degrees(sym_edges)
+            nlf_df = _nlf(sym_edges, labeled_vertices)
+            if _aux is not None:
+                deg = deg.persist()
+                nlf_df = nlf_df.persist()
+                _aux.extend([deg, nlf_df])
+            else:
+                deg = deg.localCheckpoint(eager=True)
+                nlf_df = nlf_df.localCheckpoint(eager=True)
     (a, b), levels = _level_plan(spec, cand_est)
     sym = sym_edges.select("src", "dst")
 
@@ -409,13 +419,25 @@ def count_matches(
     an unlabeled/unsorted spec the ordered count divides by |Aut|.
     """
     alias = alias or f"n_{spec.name}"
-    emb = match_embeddings(sym_edges, spec, labeled_vertices, prune=prune)
+    aux: list = []
+    emb = match_embeddings(
+        sym_edges, spec, labeled_vertices, prune=prune, _aux=aux
+    )
     cnt = emb.agg(F.count("*").alias("_o"))
     if spec.lt:
-        return cnt.select(F.col("_o").alias(alias))
-    aut = spec.automorphisms()
-    # exact integral division (the ordered count is a multiple of |Aut|)
-    return cnt.select(F.expr(f"_o div {aut}").alias(alias))
+        out = cnt.select(F.col("_o").alias(alias))
+    else:
+        aut = spec.automorphisms()
+        # exact integral division (ordered count is a multiple of |Aut|)
+        out = cnt.select(F.expr(f"_o div {aut}").alias(alias))
+    if aux:
+        # single-row result: materialize eagerly so the filter-stage
+        # tables release NOW (no persisted-RDD accumulation across a
+        # long all-queries session)
+        out = out.localCheckpoint(eager=True)
+        for t in aux:
+            t.unpersist()
+    return out
 
 
 # --------------------------------------------------------- SQL generation
@@ -508,6 +530,35 @@ def pattern_count_sql_body(
 # --------------------------------------------------- k-motif graph atlas
 
 
+def canonical_edge_form(
+    edges: tuple[tuple[int, int], ...], k: int
+) -> tuple:
+    """Canonical representative of an edge set over vertices 0..k-1:
+    min over all vertex permutations of the sorted pair tuple. The ONE
+    canonicalization shared by the graph atlas and the Pangolin
+    quick-pattern→canonical mapping (lockstep by construction)."""
+    return min(
+        tuple(sorted(tuple(sorted((p[u], p[v]))) for u, v in edges))
+        for p in itertools.permutations(range(k))
+    )
+
+
+def edgeset_connected(edges: tuple[tuple[int, int], ...], k: int) -> bool:
+    """True iff the edge set connects all of 0..k-1."""
+    adj: dict[int, set[int]] = {i: set() for i in range(k)}
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    comp, todo = {0}, [0]
+    while todo:
+        x = todo.pop()
+        for y in adj[x]:
+            if y not in comp:
+                comp.add(y)
+                todo.append(y)
+    return len(comp) == k
+
+
 def connected_graphs(k: int) -> list[PatternSpec]:
     """All non-isomorphic connected graphs on k vertices (2 for k=3,
     6 for k=4, 21 for k=5 — ``include/pattern.hh:4-15``), generated by
@@ -522,28 +573,9 @@ def connected_graphs(k: int) -> list[PatternSpec]:
         edges = tuple(
             p for i, p in enumerate(all_pairs) if bits & (1 << i)
         )
-        # connectivity check
-        adj: dict[int, set[int]] = {i: set() for i in range(k)}
-        for u, v in edges:
-            adj[u].add(v)
-            adj[v].add(u)
-        comp, todo = {0}, [0]
-        while todo:
-            x = todo.pop()
-            for y in adj[x]:
-                if y not in comp:
-                    comp.add(y)
-                    todo.append(y)
-        if len(comp) != k:
+        if not edgeset_connected(edges, k):
             continue
-        canon = min(
-            tuple(
-                sorted(
-                    tuple(sorted((p[u], p[v]))) for u, v in edges
-                )
-            )
-            for p in itertools.permutations(range(k))
-        )
+        canon = canonical_edge_form(edges, k)
         if canon not in seen:
             seen[canon] = edges
     ordered = sorted(seen, key=lambda c: (len(c), c))
