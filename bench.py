@@ -59,6 +59,10 @@ def main() -> None:
     # on this host, for extras too
     extra_reps = max(1, int(os.environ.get("SPARK_GRAFT_EXTRA_REPS", "2")))
 
+    # every individual repetition time, per query — regressions between
+    # rounds are attributable from the JSON alone (spread vs code)
+    rep_times: dict[str, list[float]] = {}
+
     def timed(name: str, fn, extra: bool = False, rep: bool = False):
         best = None
         n = (extra_reps if extra else reps) if (rep or extra) else 1
@@ -66,6 +70,7 @@ def main() -> None:
             t0 = time.monotonic()
             out = fn()
             dt = round(time.monotonic() - t0, 3)
+            rep_times.setdefault(name, []).append(dt)
             if best is None or dt < best:
                 best = dt
         (extra_timings if extra else timings)[name] = best
@@ -234,6 +239,7 @@ def main() -> None:
                 "queries": {**timings, **extra_timings},
                 "headline_queries": sorted(timings),
                 "reps_best_of": reps,
+                "reps": rep_times,
                 "extras_sec": round(sum(extra_timings.values()), 3),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 **extras,

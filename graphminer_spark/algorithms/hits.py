@@ -25,13 +25,13 @@ def hits(
     directed ``edges(src, dst)``; both score vectors L1-normalize to
     1.0 every half-step (the convergent formulation).
 
-    Durable-checkpoint layout NOTE: the fused superstep saves the
-    full-step state as ``(id, auth, h_raw)`` — ``h_raw`` UNnormalized
-    (its sum is computed in the same materializing aggregate). A
-    consumer resuming from ``CheckpointManager.latest()`` derives
-    ``hub = h_raw / sum(h_raw)`` with one scan; this differs from the
-    ``(id, hub, auth)`` return layout, unlike the other algorithms
-    whose saved state matches their output schema."""
+    Durable-checkpoint layout: EVERY saved iteration (including 0) is
+    ``(id, auth, h_raw)`` — ``h_raw`` UNnormalized (its sum is computed
+    in the same materializing aggregate; at iteration 0 the uniform
+    scores already sum to 1, so h_raw = hub there). A consumer resuming
+    from ``CheckpointManager.latest()`` derives
+    ``hub = h_raw / sum(h_raw)`` with one scan, at any iteration —
+    one schema, no per-iteration branching."""
     from graphminer_spark.checkpoint import materialize_with_agg
 
     ckpt = checkpointer or CheckpointManager(None)
@@ -40,10 +40,15 @@ def hits(
     e = edges.select("src", "dst").persist()
     e.count()
 
-    state = verts.select(
-        "id", F.lit(1.0 / n).alias("hub"), F.lit(1.0 / n).alias("auth")
+    # saved in the SAME (id, auth, h_raw) layout as every fused
+    # iteration (uniform scores sum to 1, so h_raw IS the hub score);
+    # the in-loop state derives hub from it
+    state0 = verts.select(
+        "id", F.lit(1.0 / n).alias("auth"), F.lit(1.0 / n).alias("h_raw")
     )
-    state = ckpt.save(state, 0, {"algo": "hits"})
+    state = ckpt.save(state0, 0, {"algo": "hits"}).select(
+        "id", F.col("h_raw").alias("hub"), "auth"
+    )
     # ONE action per half-step (2 per iteration): the half-step state is
     # materialized with the UNnormalized score column, and the same
     # aggregate job returns the normalization sum — the next projection
@@ -77,7 +82,9 @@ def hits(
         # cadence still lands parquet states (the saved layout carries
         # the UNnormalized h_raw + its sum is re-derivable by scan)
         full, row = ckpt.save_and_agg(
-            with_auth.select("id", "auth").join(hub_raw, "id", "left"),
+            with_auth.select("id", "auth")
+            .join(hub_raw, "id", "left")
+            .withColumn("h_raw", F.coalesce("h_raw", F.lit(0.0))),
             it,
             {"algo": "hits"},
             [F.sum("h_raw").alias("s")],
@@ -85,7 +92,7 @@ def hits(
         h_sum = row["s"] or 1.0
         state = full.select(
             "id",
-            (F.coalesce("h_raw", F.lit(0.0)) / h_sum).alias("hub"),
+            (F.col("h_raw") / h_sum).alias("hub"),
             "auth",
         )
     verts.unpersist()

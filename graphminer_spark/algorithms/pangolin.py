@@ -90,6 +90,13 @@ def _mask_atlas(k: int) -> dict[int, str]:
         edgeset_connected,
     )
 
+    # the atlas is a driver-side 2^C(k,2) × k! enumeration — k=6 is
+    # ~2^15 masks × 720 permutations and effectively hangs the driver
+    if not 3 <= k <= 5:
+        raise ValueError(
+            f"pattern atlas supports k in 3..5 (got k={k}); "
+            "larger k needs a distributed canonicalization"
+        )
     pairs = list(combinations(range(k), 2))
     canon_name: dict[tuple, str] = {
         canonical_edge_form(spec.edges, k): spec.name

@@ -168,6 +168,11 @@ def jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+    # near-dup pair output is bounded by actual near-dups: materialize
+    # eagerly so the shingle table releases NOW instead of relying on
+    # ContextCleaner GC (same lifecycle as subgraph.count_matches)
+    out = out.localCheckpoint(eager=True)
+    sh.unpersist()
     return out
 
 
@@ -256,11 +261,16 @@ def simhash_near_pairs(
         .select("a", "b", "ha", "hb")
         .distinct()
     )
-    return (
+    out = (
         cand.select(
             "a",
             "b",
             F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
+        # bounded near-dup output: eager-materialize, release simhash
+        # table now (same lifecycle as subgraph.count_matches)
+        .localCheckpoint(eager=True)
     )
+    sh.unpersist()
+    return out

@@ -1,0 +1,179 @@
+"""Round-4 additions: streaming-maintenance crash idempotency, pangolin
+atlas k-guard, HITS one-schema durable checkpoints, dedup persist
+lifecycle."""
+
+from __future__ import annotations
+
+import glob
+import random
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphminer_spark.graph.build import build_dag, symmetrize
+from tests.conftest import edges_df
+
+
+def _random_graph(n, m, seed):
+    rng = random.Random(seed)
+    return [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+
+
+# ---------------------------------------- streaming crash idempotency
+
+
+def test_stream_maintenance_survives_partial_edge_write(spark, tmp_path):
+    """Simulate a kill between the edges write and the deltas write: a
+    pre-existing UNCOMMITTED ``edges/b=0`` partition (no deltas row)
+    must be recomputed wholesale on replay — the total still exactly
+    matches the accumulated graph's triangle count."""
+    from graphminer_spark.algorithms.triangles import triangle_count
+    from graphminer_spark.streaming.graphstream import (
+        stream_triangle_maintenance,
+    )
+
+    edges = sorted(
+        {(min(a, b), max(a, b)) for a, b in _random_graph(20, 90, 7) if a != b}
+    )
+    src = tmp_path / "edge_stream"
+    state = tmp_path / "state"
+    src.mkdir()
+
+    tmp = tmp_path / "w_b1"
+    spark.createDataFrame(edges, "src long, dst long").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(tmp))
+    part = glob.glob(str(tmp / "part-*.parquet"))[0]
+    shutil.copy(part, str(src / "b1.parquet"))
+
+    # the "partial write from the killed first attempt": only a strict
+    # subset of batch 0's edges landed, and no deltas commit marker
+    (state / "edges").mkdir(parents=True)
+    spark.createDataFrame(edges[: len(edges) // 3], "src long, dst long").write.mode(
+        "overwrite"
+    ).parquet(str(state / "edges" / "b=0"))
+
+    q = stream_triangle_maintenance(spark, str(src), str(state), "tm_crash")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    deltas = spark.read.parquet(str(state / "deltas"))
+    total = deltas.agg(F.sum("n_new_triangles")).collect()[0][0]
+    acc = spark.read.parquet(str(state / "edges")).select("src", "dst")
+    want = triangle_count(build_dag(acc)).collect()[0]["n_triangles"]
+    assert total == want
+    # the partial partition was overwritten, not appended to
+    assert acc.count() == len(edges)
+    assert acc.distinct().count() == len(edges)
+
+
+def test_stream_maintenance_skips_committed_batch(spark, tmp_path):
+    """A batch whose batch_id already has a deltas row is fully
+    skipped on replay (commit marker wins — no recount)."""
+    from graphminer_spark.streaming.graphstream import (
+        stream_triangle_maintenance,
+    )
+
+    edges = [(0, 1), (1, 2), (0, 2)]
+    src = tmp_path / "edge_stream"
+    state = tmp_path / "state"
+    src.mkdir()
+
+    tmp = tmp_path / "w"
+    spark.createDataFrame(edges, "src long, dst long").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(tmp))
+    part = glob.glob(str(tmp / "part-*.parquet"))[0]
+    shutil.copy(part, str(src / "b1.parquet"))
+
+    # pre-commit batch 0 with a sentinel delta row; replay must keep it
+    spark.createDataFrame(
+        [(0, 3, 99)], "batch_id long, n_delta_edges long, n_new_triangles long"
+    ).write.mode("overwrite").parquet(str(state / "deltas"))
+
+    q = stream_triangle_maintenance(spark, str(src), str(state), "tm_skip")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.read.parquet(str(state / "deltas")).collect()
+    assert len(rows) == 1 and rows[0]["n_new_triangles"] == 99
+
+
+# ------------------------------------------------- pangolin atlas guard
+
+
+@pytest.mark.parametrize("k", [2, 6])
+def test_pangolin_atlas_rejects_out_of_range_k(spark, k):
+    from graphminer_spark.algorithms.pangolin import mine_motifs
+
+    sym = symmetrize(edges_df(spark, [(0, 1), (1, 2)]), dedup=False)
+    with pytest.raises(ValueError, match="3..5"):
+        # the guard fires in the driver-side atlas build, before any job
+        mine_motifs(sym, k).collect()
+
+
+# ------------------------------------- HITS durable checkpoint layout
+
+
+def test_hits_checkpoints_have_one_schema(spark, tmp_path):
+    """Every durable HITS checkpoint (including iteration 0) has the
+    (id, auth, h_raw) layout, and hub = h_raw / sum(h_raw) at any
+    iteration reproduces the returned scores."""
+    from graphminer_spark.algorithms.hits import hits
+    from graphminer_spark.checkpoint import CheckpointManager
+
+    edges = edges_df(spark, _random_graph(15, 40, 3))
+    verts = (
+        symmetrize(edges, dedup=False).select(F.col("src").alias("id")).distinct()
+    )
+    ckpt = CheckpointManager(str(tmp_path / "hits"), every=1)
+    out = {r["id"]: r for r in hits(edges, verts, n_iter=2, checkpointer=ckpt).collect()}
+
+    import os
+
+    iter_dirs = sorted(
+        d for d in os.listdir(tmp_path / "hits") if d.startswith("iter=")
+    )
+    assert iter_dirs[0] == "iter=000000"
+    for d in iter_dirs:
+        df = spark.read.parquet(str(tmp_path / "hits" / d))
+        assert sorted(df.columns) == ["auth", "h_raw", "id"]
+    # latest() resumes with ONE derivation rule, no iteration branching
+    last = spark.read.parquet(str(tmp_path / "hits" / iter_dirs[-1]))
+    s = last.agg(F.sum("h_raw")).collect()[0][0]
+    for r in last.collect():
+        assert abs(r["h_raw"] / s - out[r["id"]]["hub"]) < 1e-12
+        assert abs(r["auth"] - out[r["id"]]["auth"]) < 1e-12
+
+
+# --------------------------------------------- dedup persist lifecycle
+
+
+def test_dedup_operators_release_persisted_tables(spark):
+    """jaccard_pairs / simhash_near_pairs leave no persisted RDDs
+    behind (eager-materialize-then-unpersist, like count_matches)."""
+    from graphminer_spark.textops.dedup import jaccard_pairs, simhash_near_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "completely different text with no overlap at all"),
+        ],
+        "doc_id long, text string",
+    )
+    before = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+    pairs = jaccard_pairs(docs, 0.3)
+    assert pairs.count() >= 1  # docs 1 and 2 are near-dups
+    sim = simhash_near_pairs(docs)
+    sim.count()
+    after = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+    # each call may leave its OWN eager-materialized result checkpoint
+    # (released when the Python ref drops); the internal shingle /
+    # simhash persists must be gone — they'd double the delta
+    leaked = after - before
+    assert len(leaked) <= 2, f"internal persisted tables leaked: {leaked}"
