@@ -103,6 +103,148 @@ def test_stream_maintenance_skips_committed_batch(spark, tmp_path):
     assert len(rows) == 1 and rows[0]["n_new_triangles"] == 99
 
 
+# --------------------------------------- hub-safe FSM MNI (round-4 ask)
+
+
+def _brute_mni_2edge(edges, label):
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    dom = defaultdict(lambda: defaultdict(set))
+    for b in adj:
+        for a in adj[b]:
+            for c in adj[b]:
+                if a == c:
+                    continue
+                la, lb, lc = label[a], label[b], label[c]
+                if la > lc:
+                    continue
+                k = (la, lb, lc)
+                dom[k][("arm", la)].add(a)
+                dom[k][("c",)].add(b)
+                dom[k][("arm", lc)].add(c)
+    return {k: min(len(s) for s in p.values()) for k, p in dom.items()}
+
+
+def _brute_mni_3edge(edges, label):
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    dom = defaultdict(lambda: defaultdict(set))
+    for u in adj:
+        for v in adj[u]:
+            for w in adj[v]:
+                if w != u and w in adj[u]:
+                    ls = sorted([label[u], label[v], label[w]])
+                    k = ("triangle", ls[0], ls[1], ls[2], -1)
+                    for x in (u, v, w):
+                        dom[k][("l", label[x])].add(x)
+    for b in adj:
+        ns = list(adj[b])
+        for x in ns:
+            for y in ns:
+                for z in ns:
+                    if len({x, y, z}) < 3:
+                        continue
+                    lx, ly, lz = label[x], label[y], label[z]
+                    if not (lx <= ly <= lz):
+                        continue
+                    k = ("star", label[b], lx, ly, lz)
+                    dom[k][("c",)].add(b)
+                    for leaf in (x, y, z):
+                        dom[k][("l", label[leaf])].add(leaf)
+    for b in adj:
+        for a in adj[b]:
+            for c in adj[b]:
+                if c == a:
+                    continue
+                for d in adj[c]:
+                    if d in (b, a):
+                        continue
+                    la, lb, lc, ld = label[a], label[b], label[c], label[d]
+                    if not ((la < ld) or (la == ld and lb <= lc)):
+                        continue
+                    k = ("path", la, lb, lc, ld)
+                    dom[k][(1,)].add(a)
+                    dom[k][(2,)].add(b)
+                    dom[k][(3,)].add(c)
+                    dom[k][(4,)].add(d)
+    return {k: min(len(s) for s in p.values()) for k, p in dom.items()}
+
+
+@pytest.mark.parametrize("seed,mod", [(11, 3), (5, 2), (42, 7)])
+def test_fsm_mni_matches_brute_force(spark, seed, mod):
+    """The hub-safe NLF/triangle-indexed domain computation is exact
+    MNI — identical to brute-force enumeration over every 2-edge and
+    3-edge pattern (including tied-label collision cases)."""
+    from graphminer_spark.algorithms.patterns import (
+        fsm_2edge_support,
+        fsm_3edge_support,
+    )
+
+    raw = _random_graph(30, 80, seed)
+    edges = sorted({(min(a, b), max(a, b)) for a, b in raw if a != b})
+    label = {v: v % mod for v in range(30)}
+    sym = symmetrize(edges_df(spark, edges), dedup=False)
+    lv = spark.createDataFrame(
+        [(v, label[v]) for v in range(30)], "id long, vlabel int"
+    )
+    got2 = {
+        (r["la"], r["lb"], r["lc"]): r["support"]
+        for r in fsm_2edge_support(sym, lv, minsup=1).collect()
+    }
+    assert got2 == _brute_mni_2edge(edges, label)
+    got3 = {
+        (r["shape"], r["p1"], r["p2"], r["p3"], r["p4"]): r["support"]
+        for r in fsm_3edge_support(sym, lv, minsup=1).collect()
+    }
+    assert got3 == _brute_mni_3edge(edges, label)
+
+
+def test_fsm_mni_bounded_on_zipf_hub(spark):
+    """An 8000-degree hub: the old wedge/star/path-materializing plans
+    would push ~deg² .. deg³ (10⁸ .. 5·10¹¹) rows through the MNI
+    aggregate; the NLF-domain plans stay O(|E|·L²) and finish. Supports
+    are asserted analytically for the fixture."""
+    from graphminer_spark.algorithms.patterns import (
+        fsm_2edge_support,
+        fsm_3edge_support,
+    )
+
+    h = 8000
+    edges = [(0, i) for i in range(1, h + 1)] + [
+        (i, i + 1) for i in range(1, 501)
+    ]
+    sym = symmetrize(edges_df(spark, edges), dedup=False)
+    lv = spark.createDataFrame(
+        [(v, 0) for v in range(h + 1)], "id long, vlabel int"
+    )
+    # wedge (0,0,0): centers = hub + chain leaves 1..501 = 502;
+    # arms = all 8000 leaves + hub = 8001 → support 502
+    w = fsm_2edge_support(sym, lv, minsup=1).collect()
+    assert {(r["la"], r["lb"], r["lc"]): r["support"] for r in w} == {
+        (0, 0, 0): 502
+    }
+    got = {
+        (r["shape"], r["p1"], r["p2"], r["p3"], r["p4"]): r["support"]
+        for r in fsm_3edge_support(sym, lv, minsup=1).collect()
+    }
+    assert got == {
+        # hub–i–(i+1) triangles, corners = hub + 1..501
+        ("triangle", 0, 0, 0, -1): 502,
+        # centers with ≥3 neighbors = hub + chain interior 2..500 = 500
+        ("star", 0, 0, 0, 0): 500,
+        # mids = hub + 1..501 = 502; ends = everyone = 8001
+        ("path", 0, 0, 0, 0): 502,
+    }
+
+
 # ------------------------------------------------- pangolin atlas guard
 
 
