@@ -79,6 +79,7 @@ from graphminer_spark.oracle_sql import (
 )
 from graphminer_spark.algorithms.kcore import core_numbers_hindex, kcore
 from graphminer_spark.algorithms.motifs import pattern_counts
+from graphminer_spark.algorithms.fsm_general import fsm_4edge_support
 from graphminer_spark.algorithms.patterns import (
     clique_count,
     fsm_2edge_support,
@@ -99,6 +100,7 @@ from graphminer_spark.oracle_sql import (
     clique_sql,
     fsm_2edge_support_sql,
     fsm_3edge_support_sql,
+    fsm_4edge_support_sql,
     fsm_edge_support_sql,
     fsm_elabel_2edge_support_sql,
     fsm_elabel_support_sql,
@@ -326,6 +328,24 @@ def _q_fsm_3edge(spark: SparkSession, sf_dir: str) -> DataFrame:
     verts = degrees(sym).select("id")
     return fsm_3edge_support(
         sym, with_synthetic_labels(verts), minsup=FSM3_MINSUP
+    )
+
+
+# adaptive 4-edge minsup: near the support median on the half-sampled
+# divisor-1 scramble graph at any scale (edges/1500 ≈ 20 at sf0.01)
+FSM4_MINSUP_SQL = "(SELECT greatest(3, count(*) // 1500) FROM edges)"
+
+
+def _q_fsm_4edge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # general-k gSpan frontier (the depth feature): the uniform
+    # low-degree scramble graph bounds the level-4 occurrence count
+    # (enumeration cost scales with Σ deg^3 per edge)
+    edges = tpch_edges(spark, sf_dir, divisor=1, scramble=True, sample_mod=2)
+    sym = symmetrize(edges, dedup=False)
+    verts = degrees(sym).select("id")
+    minsup = max(3, edges.count() // 1500)
+    return fsm_4edge_support(
+        sym, with_synthetic_labels(verts), minsup=minsup
     )
 
 
@@ -785,6 +805,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fsm_edge_support": _q_fsm_edges,
         "fsm_2edge_support": _q_fsm_2edge,
         "fsm_3edge_support": _q_fsm_3edge,
+        "fsm_4edge_support": _q_fsm_4edge,
         "fsm_elabel_support": _q_fsm_elabel,
         "fsm_elabel_2edge_support": _q_fsm_elabel_2edge,
         "query_labeled_diamond": _q_labeled_diamond,
@@ -952,6 +973,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "fsm_3edge_support": fsm_3edge_support_sql(
             FSM3_MINSUP, divisor=SPARSE_DIVISOR
+        ),
+        "fsm_4edge_support": fsm_4edge_support_sql(
+            FSM4_MINSUP_SQL, divisor=1, scramble=True, sample_mod=2
         ),
         "pattern_counts": PATTERN_COUNTS_SQL,
         **{

@@ -1,0 +1,420 @@
+"""General-k FSM: the gSpan frontier loop over an embeddings-per-level
+DataFrame.
+
+The reference mines patterns to arbitrary edge count k with
+rightmost-path extension and is_min canonical dedup
+(``src/fsm/omp_base.cc:150-239`` ``dfs_extend``, ``src/fsm/dfscode.h``,
+``src/fsm/canonical.h``). This module is the Spark-first
+re-expression — instead of DFS codes on a recursion stack, the frontier
+is a DataFrame of *edge-set embeddings*:
+
+* a level-k embedding is one row ``(es, vlist)`` — ``es`` the SORTED
+  set of k graph edges of one connected edge-subgraph occurrence
+  (set semantics: ``dropDuplicates`` replaces the reference's
+  canonical-extension test, the same trade ``pangolin.extend_sets``
+  makes) and ``vlist`` the sorted ``(vertex, label)`` structs, carried
+  incrementally so no level ever re-joins the label table;
+* extension = one join against the labeled symmetric edge table: add
+  any edge incident to the current vertex set, forward (new vertex)
+  and backward (closing) edges both — every connected (k+1)-edge
+  subgraph contains a connected k-edge subgraph, so the frontier is
+  complete;
+* pattern identity = two-phase canonicalization (the quick-pattern →
+  canonical-pattern aggregation of ``miner.h``), split so ALL per-row
+  work stays JVM-side: the driver canonicalizes only the ≤ a few
+  hundred distinct index-space STRUCTURES (min over n! encodings,
+  n = k+1 ≤ 6 — the is_min check, memoized), and broadcasts each
+  structure's min-achieving assignments; rows then derive their
+  canonical label tuple as ``array_min`` over those assignments' label
+  permutations — a pure expression;
+* MNI support (``src/fsm/domain_support.h``): per embedding, EVERY
+  min-achieving assignment contributes its position → vertex pairs, so
+  ``countDistinct`` per position is automatically the union over all
+  isomorphic assignments — symmetric positions merge their domains
+  with no explicit orbit bookkeeping;
+* anti-monotone pruning between levels: embeddings of infrequent
+  patterns leave the frontier (gSpan's support prune).
+
+Scale note: unlike the fixed-shape kernels in ``patterns.py`` (whose
+MNI domains commute into NLF counts — hub-safe), the general-k loop is
+embedding-bound by nature: level cost = O(#occurrences), the same
+asymptotics as the reference's DFS enumeration. Use it for depth
+(k ≥ 4); the closed-form kernels remain the scale path for k ≤ 3.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+from itertools import permutations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+# ------------------------------------------------- driver-side canonical
+
+
+@lru_cache(maxsize=None)
+def _structure_canon(qedges: tuple, n: int):
+    """Unlabeled canonicalization of an index-space edge set, memoized —
+    the quick-code space is huge (every vertex-id ordering of every
+    occurrence) but collapses onto ≤ a few hundred distinct STRUCTURES,
+    so the O(n!) search runs once per structure. Returns
+    ``(canon_edges, min_assigns)``: the canonical edge set and every
+    assignment (pos → quick index) achieving it — min-achieving
+    assignments differ exactly by Aut(canonical structure)."""
+    best = None
+    mins: list[tuple] = []
+    for assign in permutations(range(n)):  # assign[pos] = quick index
+        pos_of = [0] * n
+        for p, q in enumerate(assign):
+            pos_of[q] = p
+        edges_p = tuple(
+            sorted(tuple(sorted((pos_of[a], pos_of[b]))) for a, b in qedges)
+        )
+        if best is None or edges_p < best:
+            best, mins = edges_p, [assign]
+        elif edges_p == best:
+            mins.append(assign)
+    return best, tuple(mins)
+
+
+def _decode_4edge(canon_edges, canon_labels):
+    """Canonical 4-edge pattern → ``(shape, q1..q5)`` semantic key (the
+    named-shape layout the oracle SQL reproduces; q5 = -1 for 4-vertex
+    shapes). Shapes: path5 / star4 / chair / cycle4 / paw."""
+    n = len(canon_labels)
+    adj = {i: set() for i in range(n)}
+    for a, b in canon_edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    deg = {i: len(adj[i]) for i in range(n)}
+    degs = sorted(deg.values())
+    lab = canon_labels
+    if n == 5 and degs == [1, 1, 1, 1, 4]:
+        center = next(i for i in range(n) if deg[i] == 4)
+        leaves = sorted(lab[i] for i in range(n) if i != center)
+        return ("star4", lab[center], *leaves)
+    if n == 5 and degs == [1, 1, 1, 2, 3]:
+        c = next(i for i in range(n) if deg[i] == 3)
+        x = next(i for i in adj[c] if deg[i] == 2)
+        y = next(i for i in adj[x] if i != c)
+        l1, l2 = sorted(lab[i] for i in adj[c] if deg[i] == 1)
+        return ("chair", lab[y], lab[x], lab[c], l1, l2)
+    if n == 5:  # path5: degrees [1, 1, 2, 2, 2]
+        end = next(i for i in range(n) if deg[i] == 1)
+        order = [end]
+        while len(order) < n:
+            order.append(next(j for j in adj[order[-1]] if j not in order))
+        t = tuple(lab[i] for i in order)
+        return ("path5", *min(t, t[::-1]))
+    if degs == [2, 2, 2, 2]:  # cycle4
+        order = [0]
+        while len(order) < 4:
+            order.append(next(j for j in adj[order[-1]] if j not in order))
+        t = tuple(lab[i] for i in order)
+        variants = []
+        for d in (t, t[::-1]):
+            for r in range(4):
+                variants.append(d[r:] + d[:r])
+        return ("cycle4", *min(variants), -1)
+    # paw: triangle (t1, t2, u) + pendant p on u
+    u = next(i for i in range(n) if deg[i] == 3)
+    p = next(i for i in range(n) if deg[i] == 1)
+    t1, t2 = sorted(lab[i] for i in range(n) if deg[i] == 2)
+    return ("paw", lab[p], lab[u], t1, t2, -1)
+
+
+# ------------------------------------------------------- frontier loop
+
+
+def _with_quick(emb: DataFrame) -> DataFrame:
+    """Quick-pattern columns from the carried state — pure expressions:
+    ``vs`` = sorted vertex ids, ``labels`` aligned to it, ``qkey`` =
+    the index-space edge structure as a string (the structure-map join
+    key)."""
+    out = (
+        emb.withColumn("vs", F.transform("vlist", lambda x: x["v"]))
+        .withColumn("labels", F.transform("vlist", lambda x: x["l"]))
+    )
+    qedges = F.array_sort(
+        F.transform(
+            "es",
+            lambda e: F.struct(
+                (
+                    F.least(
+                        F.array_position(F.col("vs"), e["u"]),
+                        F.array_position(F.col("vs"), e["v"]),
+                    )
+                    - 1
+                )
+                .cast("int")
+                .alias("a"),
+                (
+                    F.greatest(
+                        F.array_position(F.col("vs"), e["u"]),
+                        F.array_position(F.col("vs"), e["v"]),
+                    )
+                    - 1
+                )
+                .cast("int")
+                .alias("b"),
+            ),
+        )
+    )
+    return out.withColumn("qkey", qedges.cast("string"))
+
+
+def _extend(emb: DataFrame, lab_sym: DataFrame) -> DataFrame:
+    """One frontier level: every embedding grows by one incident edge
+    (forward or backward), each (k+1)-edge subgraph exactly once. The
+    labeled edge table carries the new endpoint's label, so ``vlist``
+    extends without a label join."""
+    ext = (
+        emb.select(
+            "es", "vlist",
+            F.explode(F.transform("vlist", lambda x: x["v"])).alias("anchor"),
+        )
+        .join(
+            lab_sym.select(
+                F.col("src").alias("anchor"),
+                F.col("dst").alias("w"),
+                F.col("ld").alias("lw"),
+            ),
+            "anchor",
+        )
+        .withColumn(
+            "ne",
+            F.struct(
+                F.least("anchor", "w").alias("u"),
+                F.greatest("anchor", "w").alias("v"),
+            ),
+        )
+        .filter(~F.array_contains("es", F.col("ne")))
+    )
+    known = F.exists("vlist", lambda x: x["v"] == F.col("w"))
+    return (
+        ext.select(
+            F.array_sort(F.concat("es", F.array("ne"))).alias("es"),
+            F.when(known, F.col("vlist"))
+            .otherwise(
+                F.array_sort(
+                    F.concat(
+                        "vlist",
+                        F.array(
+                            F.struct(
+                                F.col("w").alias("v"),
+                                F.col("lw").cast("int").alias("l"),
+                            )
+                        ),
+                    )
+                )
+            )
+            .alias("vlist"),
+        ).dropDuplicates(["es"])
+    )
+
+
+def _canonical_rows(ann: DataFrame, smap: DataFrame) -> DataFrame:
+    """Attach canonical code + min-achieving assignments, all JVM-side:
+    ``clabels`` = lexicographic min over the structure's assignments of
+    the permuted label tuple; ``code`` identifies the pattern."""
+    joined = ann.join(F.broadcast(smap), "qkey")
+    labeling = lambda a: F.transform(  # noqa: E731
+        a, lambda i: F.element_at(F.col("labels"), i + 1)
+    )
+    clabels = F.array_min(
+        F.transform("assigns", lambda a: labeling(a))
+    )
+    return joined.withColumn("clabels", clabels).withColumn(
+        "code",
+        F.concat(F.col("sid"), F.lit("|"), F.col("clabels").cast("string")),
+    )
+
+
+def _level_supports(canon: DataFrame) -> DataFrame:
+    """MNI supports: every min-achieving assignment contributes its
+    position → vertex pairs, so per-position distinct counts union over
+    isomorphic assignments (symmetric positions merge automatically) →
+    ``(code, support)``."""
+    surviving = F.filter(
+        "assigns",
+        lambda a: F.transform(
+            a, lambda i: F.element_at(F.col("labels"), i + 1)
+        )
+        == F.col("clabels"),
+    )
+    assigned = (
+        canon.select(
+            "code", "vs", "labels", "clabels",
+            F.explode(surviving).alias("assign"),
+        )
+        .select(
+            "code",
+            F.posexplode(
+                F.transform(
+                    "assign", lambda i: F.element_at(F.col("vs"), i + 1)
+                )
+            ).alias("pos", "vtx"),
+        )
+    )
+    return (
+        assigned.groupBy("code", "pos")
+        .agg(F.countDistinct("vtx").alias("d"))
+        .groupBy("code")
+        .agg(F.min("d").alias("support"))
+    )
+
+
+def _mine(sym_edges, labeled_vertices, k, minsup):
+    """Shared frontier loop → (supports DF, sid → canon_edges map)."""
+    spark = sym_edges.sparkSession
+    lv = labeled_vertices.select("id", "vlabel")
+    lab_sym = (
+        sym_edges.select("src", "dst")
+        .join(
+            lv.select(F.col("id").alias("dst"), F.col("vlabel").alias("ld")),
+            "dst",
+        )
+        .persist()
+    )
+    emb = (
+        lab_sym.filter(F.col("src") < F.col("dst"))
+        .join(
+            lv.select(F.col("id").alias("src"), F.col("vlabel").alias("ls")),
+            "src",
+        )
+        .select(
+            F.array(
+                F.struct(F.col("src").alias("u"), F.col("dst").alias("v"))
+            ).alias("es"),
+            F.array_sort(
+                F.array(
+                    F.struct(
+                        F.col("src").alias("v"),
+                        F.col("ls").cast("int").alias("l"),
+                    ),
+                    F.struct(
+                        F.col("dst").alias("v"),
+                        F.col("ld").cast("int").alias("l"),
+                    ),
+                )
+            ).alias("vlist"),
+        )
+        .dropDuplicates(["es"])
+    )
+    sid_edges: dict[str, tuple] = {}
+    prev = None
+    sup = None
+    for level in range(1, k + 1):
+        if level > 1:
+            emb = _extend(emb, lab_sym)
+        emb = emb.localCheckpoint(eager=True)
+        if prev is not None:
+            prev.unpersist()
+        prev = emb
+        ann = _with_quick(emb)
+        # tiny collect: the distinct index-space STRUCTURES (≤ a few
+        # hundred), not the labeled quick codes (can be 10⁵⁺)
+        qkeys = [
+            (r["qkey"], tuple((e["a"], e["b"]) for e in r["qedges"]))
+            for r in ann.select(
+                "qkey",
+                F.array_sort(
+                    F.transform(
+                        "es",
+                        lambda e: F.struct(
+                            (
+                                F.least(
+                                    F.array_position(F.col("vs"), e["u"]),
+                                    F.array_position(F.col("vs"), e["v"]),
+                                )
+                                - 1
+                            )
+                            .cast("int")
+                            .alias("a"),
+                            (
+                                F.greatest(
+                                    F.array_position(F.col("vs"), e["u"]),
+                                    F.array_position(F.col("vs"), e["v"]),
+                                )
+                                - 1
+                            )
+                            .cast("int")
+                            .alias("b"),
+                        ),
+                    )
+                ).alias("qedges"),
+            )
+            .dropDuplicates(["qkey"])
+            .collect()
+        ]
+        srows = []
+        for qkey, qedges in qkeys:
+            n = max(max(e) for e in qedges) + 1
+            cedges, assigns = _structure_canon(qedges, n)
+            sid = repr(cedges)
+            sid_edges[sid] = cedges
+            srows.append((qkey, sid, [list(a) for a in assigns]))
+        smap = spark.createDataFrame(
+            srows, "qkey string, sid string, assigns array<array<int>>"
+        )
+        canon = _canonical_rows(ann, smap)
+        sup = _level_supports(canon).filter(F.col("support") >= minsup)
+        if level < k:
+            # anti-monotone prune: only embeddings of frequent patterns
+            # stay on the frontier
+            emb = (
+                canon.join(sup.select("code"), "code", "left_semi")
+                .select("es", "vlist")
+            )
+    out = sup.localCheckpoint(eager=True)
+    if prev is not None:
+        prev.unpersist()
+    lab_sym.unpersist()
+    return out, sid_edges
+
+
+def fsm_kedge_support(
+    sym_edges: DataFrame,
+    labeled_vertices: DataFrame,
+    k: int,
+    minsup: int,
+) -> DataFrame:
+    """Frequent k-edge patterns with MNI support → ``(code, support)``,
+    support ≥ minsup; ``code`` is the canonical structure + minimal
+    label tuple of the pattern. Driver loop = gSpan's level-wise
+    frontier with anti-monotone support pruning between levels."""
+    assert k >= 1
+    sup, _ = _mine(sym_edges, labeled_vertices, k, minsup)
+    return sup
+
+
+def fsm_4edge_support(
+    sym_edges: DataFrame,
+    labeled_vertices: DataFrame,
+    minsup: int,
+) -> DataFrame:
+    """Frequent 4-edge patterns with MNI support in the named-shape
+    layout → ``(shape, q1, q2, q3, q4, q5, support)``; q5 = -1 for the
+    4-vertex shapes (cycle4 / paw). The gate-facing face of
+    :func:`fsm_kedge_support` — same frontier loop, plus a driver-side
+    decode of each frequent canonical pattern into the shape-semantic
+    key the DuckDB oracle reproduces."""
+    sup, sid_edges = _mine(sym_edges, labeled_vertices, 4, minsup)
+    spark = sym_edges.sparkSession
+    # decode the FREQUENT patterns only (≤ pattern-space, small)
+    pats = sup.collect()
+    rows = []
+    for r in pats:
+        sid, lpart = r["code"].split("|", 1)
+        clabels = tuple(
+            int(x) for x in lpart.strip("[]").split(",") if x.strip()
+        )
+        rows.append(
+            (*_decode_4edge(sid_edges[sid], clabels), r["support"])
+        )
+    return spark.createDataFrame(
+        rows,
+        "shape string, q1 int, q2 int, q3 int, q4 int, q5 int, support long",
+    )

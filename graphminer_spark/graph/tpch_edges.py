@@ -31,7 +31,11 @@ SPARSE_DIVISOR = 6
 MIN_VERTICES = 100
 
 
-def edges_sql(divisor: int = VERTEX_DIVISOR, scramble: bool = False) -> str:
+def edges_sql(
+    divisor: int = VERTEX_DIVISOR,
+    scramble: bool = False,
+    sample_mod: int | None = None,
+) -> str:
     """SQL fragment (ANSI, runs in DuckDB and Spark alike) producing the
     canonical undirected edge list (src BIGINT, dst BIGINT, src < dst).
 
@@ -39,6 +43,10 @@ def edges_sql(divisor: int = VERTEX_DIVISOR, scramble: bool = False) -> str:
     1-7 lines of an order no longer share a vertex — a near-uniform
     low-degree graph with no clustering hubs (used by the path-pattern
     queries, whose enumeration cost scales with Σ deg^(k-1)).
+    ``sample_mod=s`` keeps only orders with ``l_orderkey % s = 0`` —
+    a deterministic subsample for enumeration-heavy queries; the
+    vertex universe scales with the SAMPLED row count so mean degree
+    stays put.
     """
     if scramble:
         a_expr = "(l_orderkey * 131 + l_linenumber * 9973) % nv"
@@ -46,14 +54,16 @@ def edges_sql(divisor: int = VERTEX_DIVISOR, scramble: bool = False) -> str:
     else:
         a_expr = "l_orderkey % nv"
         b_expr = "(l_partkey + 7 * l_suppkey + 13 * l_linenumber) % nv"
+    where = f" WHERE l_orderkey % {sample_mod} = 0" if sample_mod else ""
     return f"""
 WITH _v AS (
-  SELECT greatest({MIN_VERTICES}, count(*) // {divisor}) AS nv FROM lineitem
+  SELECT greatest({MIN_VERTICES}, count(*) // {divisor}) AS nv
+  FROM lineitem{where}
 ),
 _raw AS MATERIALIZED (
   SELECT {a_expr} AS a,
          {b_expr} AS b
-  FROM lineitem CROSS JOIN _v
+  FROM lineitem CROSS JOIN _v{where}
 ),
 edges AS MATERIALIZED (
   SELECT DISTINCT least(a, b) AS src, greatest(a, b) AS dst
@@ -70,16 +80,19 @@ def tpch_edges(
     sf_dir: str,
     divisor: int = VERTEX_DIVISOR,
     scramble: bool = False,
+    sample_mod: int | None = None,
 ) -> DataFrame:
     """Canonical undirected edge list from ``{sf_dir}/lineitem.parquet``.
 
     Uses integer-only expressions; ``//`` (integer division) matches
     DuckDB's BIGINT ``/`` on BIGINT inputs. See ``edges_sql`` for the
-    ``scramble`` variant.
+    ``scramble`` and ``sample_mod`` variants.
     """
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
         "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"
     )
+    if sample_mod:
+        li = li.filter(F.col("l_orderkey") % sample_mod == 0)
     n = li.count()  # single scalar aggregate; drives the id-space size
     nv = max(MIN_VERTICES, n // divisor)
     ln = F.col("l_linenumber").cast("long")

@@ -45,12 +45,15 @@ tri AS MATERIALIZED (
 )
 """.strip()
 
-def graph_ctes(divisor: int = 60, scramble: bool = False) -> str:
+def graph_ctes(
+    divisor: int = 60, scramble: bool = False, sample_mod: int | None = None
+) -> str:
     """CTE list WITHOUT the leading WITH keyword, so composers can
-    choose WITH vs WITH RECURSIVE. ``divisor``/``scramble`` select the
-    graph density and clustering (see ``tpch_edges``)."""
+    choose WITH vs WITH RECURSIVE. ``divisor``/``scramble``/
+    ``sample_mod`` select the graph density, clustering and subsample
+    (see ``tpch_edges``)."""
     return (
-        f"{edges_sql(divisor, scramble).removeprefix('WITH ')}, "
+        f"{edges_sql(divisor, scramble, sample_mod).removeprefix('WITH ')}, "
         f"{SYM_SQL}, {DEG_SQL}, {DAG_SQL}"
     )
 
@@ -63,8 +66,11 @@ def graph_query(
     with_tri: bool = False,
     divisor: int = 60,
     scramble: bool = False,
+    sample_mod: int | None = None,
 ) -> str:
-    ctes = graph_ctes(divisor, scramble) + (", " + TRI_SQL if with_tri else "")
+    ctes = graph_ctes(divisor, scramble, sample_mod) + (
+        ", " + TRI_SQL if with_tri else ""
+    )
     return f"WITH {ctes} {body}"
 
 
@@ -964,6 +970,121 @@ def fsm_3edge_support_sql(
         ) WHERE support >= {minsup}
         """,
         divisor=divisor,
+    )
+
+
+def fsm_4edge_support_sql(
+    minsup: int | str,
+    n_classes: int = 7,
+    divisor: int = 60,
+    scramble: bool = False,
+    sample_mod: int | None = None,
+) -> str:
+    """All five 4-edge shapes (path5 / star4 / chair / cycle4 / paw)
+    with MNI support — mirrors ``fsm_general.fsm_4edge_support``: the
+    orientation-inclusive enumeration keeps every canonical-achieving
+    role assignment, so tied-label symmetric positions union their
+    domains exactly as the engine's orbit merge does."""
+    m = n_classes
+    return graph_query(
+        f"""
+        SELECT shape, q1, q2, q3, q4, q5, support FROM (
+          -- path5 a-b-c-d-e: label tuple <= its reverse
+          SELECT 'path5' AS shape,
+                 e1.src % {m} AS q1, e1.dst % {m} AS q2, e2.dst % {m} AS q3,
+                 e3.dst % {m} AS q4, e4.dst % {m} AS q5,
+                 least(count(DISTINCT e1.src), count(DISTINCT e1.dst),
+                       count(DISTINCT e2.dst), count(DISTINCT e3.dst),
+                       count(DISTINCT e4.dst)) AS support
+          FROM sym e1
+          JOIN sym e2 ON e2.src = e1.dst
+          JOIN sym e3 ON e3.src = e2.dst
+          JOIN sym e4 ON e4.src = e3.dst
+          WHERE e1.src NOT IN (e2.dst, e3.dst, e4.dst)
+            AND e1.dst NOT IN (e3.dst, e4.dst)
+            AND e2.dst <> e4.dst
+            AND [e1.src % {m}, e1.dst % {m}, e2.dst % {m}, e3.dst % {m},
+                 e4.dst % {m}]
+                <= [e4.dst % {m}, e3.dst % {m}, e2.dst % {m}, e1.dst % {m},
+                    e1.src % {m}]
+          GROUP BY 1, 2, 3, 4, 5, 6
+          UNION ALL
+          -- star4: center + 4 pairwise-distinct leaves, labels sorted
+          SELECT 'star4',
+                 e1.src % {m}, e1.dst % {m}, e2.dst % {m}, e3.dst % {m},
+                 e4.dst % {m},
+                 least(count(DISTINCT e1.src), count(DISTINCT e1.dst),
+                       count(DISTINCT e2.dst), count(DISTINCT e3.dst),
+                       count(DISTINCT e4.dst))
+          FROM sym e1
+          JOIN sym e2 ON e2.src = e1.src
+          JOIN sym e3 ON e3.src = e1.src
+          JOIN sym e4 ON e4.src = e1.src
+          WHERE e1.dst NOT IN (e2.dst, e3.dst, e4.dst)
+            AND e2.dst NOT IN (e3.dst, e4.dst) AND e3.dst <> e4.dst
+            AND e1.dst % {m} <= e2.dst % {m}
+            AND e2.dst % {m} <= e3.dst % {m}
+            AND e3.dst % {m} <= e4.dst % {m}
+          GROUP BY 1, 2, 3, 4, 5, 6
+          UNION ALL
+          -- chair: y-x-c(-l1)(-l2), leaf labels sorted
+          SELECT 'chair',
+                 ey.dst % {m}, ex.dst % {m}, ex.src % {m},
+                 el1.dst % {m}, el2.dst % {m},
+                 least(count(DISTINCT ey.dst), count(DISTINCT ex.dst),
+                       count(DISTINCT ex.src), count(DISTINCT el1.dst),
+                       count(DISTINCT el2.dst))
+          FROM sym ex
+          JOIN sym ey ON ey.src = ex.dst
+          JOIN sym el1 ON el1.src = ex.src
+          JOIN sym el2 ON el2.src = ex.src
+          WHERE ey.dst <> ex.src
+            AND el1.dst NOT IN (ex.dst, ey.dst, el2.dst)
+            AND el2.dst NOT IN (ex.dst, ey.dst)
+            AND el1.dst % {m} <= el2.dst % {m}
+          GROUP BY 1, 2, 3, 4, 5, 6
+          UNION ALL
+          -- cycle4: label tuple minimal over the dihedral group D4
+          SELECT 'cycle4',
+                 e1.src % {m}, e1.dst % {m}, e2.dst % {m}, e3.dst % {m},
+                 -1,
+                 least(count(DISTINCT e1.src), count(DISTINCT e1.dst),
+                       count(DISTINCT e2.dst), count(DISTINCT e3.dst))
+          FROM sym e1
+          JOIN sym e2 ON e2.src = e1.dst
+          JOIN sym e3 ON e3.src = e2.dst
+          JOIN sym e4 ON e4.src = e3.dst AND e4.dst = e1.src
+          WHERE e1.src <> e2.dst AND e1.dst <> e3.dst
+            AND [e1.src % {m}, e1.dst % {m}, e2.dst % {m}, e3.dst % {m}] <= ALL (
+              SELECT t FROM (VALUES
+                ([e1.dst % {m}, e2.dst % {m}, e3.dst % {m}, e1.src % {m}]),
+                ([e2.dst % {m}, e3.dst % {m}, e1.src % {m}, e1.dst % {m}]),
+                ([e3.dst % {m}, e1.src % {m}, e1.dst % {m}, e2.dst % {m}]),
+                ([e3.dst % {m}, e2.dst % {m}, e1.dst % {m}, e1.src % {m}]),
+                ([e2.dst % {m}, e1.dst % {m}, e1.src % {m}, e3.dst % {m}]),
+                ([e1.dst % {m}, e1.src % {m}, e3.dst % {m}, e2.dst % {m}]),
+                ([e1.src % {m}, e3.dst % {m}, e2.dst % {m}, e1.dst % {m}])
+              ) AS v(t))
+          GROUP BY 1, 2, 3, 4, 5, 6
+          UNION ALL
+          -- paw: pendant p on triangle corner u, triangle labels sorted
+          SELECT 'paw',
+                 ep.dst % {m}, e1.src % {m}, e1.dst % {m}, e2.dst % {m},
+                 -1,
+                 least(count(DISTINCT ep.dst), count(DISTINCT e1.src),
+                       count(DISTINCT e1.dst), count(DISTINCT e2.dst))
+          FROM sym e1
+          JOIN sym e2 ON e2.src = e1.src
+          JOIN sym e3 ON e3.src = e1.dst AND e3.dst = e2.dst
+          JOIN sym ep ON ep.src = e1.src
+          WHERE ep.dst NOT IN (e1.dst, e2.dst)
+            AND e1.dst % {m} <= e2.dst % {m}
+          GROUP BY 1, 2, 3, 4, 5, 6
+        ) WHERE support >= {minsup}
+        """,
+        divisor=divisor,
+        scramble=scramble,
+        sample_mod=sample_mod,
     )
 
 
