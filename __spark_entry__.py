@@ -100,6 +100,7 @@ from graphminer_spark.oracle_sql import (
     clique_sql,
     fsm_2edge_support_sql,
     fsm_3edge_support_sql,
+    feat_agg_sql,
     fsm_4edge_support_sql,
     fsm_edge_support_sql,
     fsm_elabel_2edge_support_sql,
@@ -346,6 +347,20 @@ def _q_fsm_4edge(spark: SparkSession, sf_dir: str) -> DataFrame:
     minsup = max(3, edges.count() // 1500)
     return fsm_4edge_support(
         sym, with_synthetic_labels(verts), minsup=minsup
+    )
+
+
+def _q_feat_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # vertex feature column (feat_t, include/graph.h:39) + 2-hop
+    # neighbor-mean propagation — one join + one groupBy per hop
+    from graphminer_spark.graph.features import (
+        propagate_features_flat,
+        synthetic_features_flat,
+    )
+
+    _, sym, verts = _graph_vertices(spark, sf_dir)
+    return propagate_features_flat(
+        sym, synthetic_features_flat(verts), hops=2
     )
 
 
@@ -801,6 +816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- labels / FSM / Query pipeline / GKS / bipartite ---
         "graph_label_freq": _q_label_freq,
         "graph_nlf": _q_nlf,
+        "graph_feat_agg": _q_feat_agg,
         "labeled_tri_count": _q_labeled_tri,
         "fsm_edge_support": _q_fsm_edges,
         "fsm_2edge_support": _q_fsm_2edge,
@@ -1006,6 +1022,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT src AS id, (dst % 7)::INT AS vlabel, count(*) AS n "
             "FROM sym GROUP BY 1, 2"
         ),
+        "graph_feat_agg": feat_agg_sql(hops=2),
         "graph_kcore": kcore_sql(30, divisor=SPARSE_DIVISOR),
         "graph_coreness": coreness_hindex_sql(
             CORENESS_ROUNDS, divisor=SPARSE_DIVISOR

@@ -1088,6 +1088,32 @@ def fsm_4edge_support_sql(
     )
 
 
+def feat_agg_sql(hops: int = 2, dim: int = 4) -> str:
+    """Oracle for ``features.propagate_features_flat`` over the
+    synthetic integer features: per hop, basis-point neighbor mean
+    ``(10000·Σ) // deg`` — integer arithmetic, exact cross-engine."""
+    dims = ", ".join(f"({d})" for d in range(dim))
+    parts = [
+        f"dims AS (SELECT * FROM (VALUES {dims}) t(d))",
+        "f0 AS MATERIALIZED (SELECT id, d, (id * 31 + d * 17) % 1000 AS val "
+        "FROM deg CROSS JOIN dims)",
+    ]
+    prev = "f0"
+    for h in range(1, hops + 1):
+        parts.append(
+            # ::BIGINT — sum() is HUGEINT in DuckDB, which pandas turns
+            # into float64 and the stringified hash would see "x.0"
+            f"h{h} AS MATERIALIZED (SELECT s.src AS id, f.d, "
+            f"((10000 * sum(f.val)) // count(*))::BIGINT AS val "
+            f"FROM sym s JOIN {prev} f ON f.id = s.dst GROUP BY 1, 2)"
+        )
+        prev = f"h{h}"
+    # body continues the WITH list, then selects the final hop
+    return graph_query(
+        ", " + ", ".join(parts) + f" SELECT id, d, val FROM {prev}"
+    )
+
+
 def fsm_edge_support_sql(minsup: int, n_classes: int = 7) -> str:
     return graph_query(
         f"""

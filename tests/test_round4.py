@@ -360,6 +360,55 @@ def test_fsm_4edge_matches_universal_brute(spark):
         assert sorted(brute[sh]) == sorted(got[sh]), f"shape {sh} mismatch"
 
 
+# ------------------------------------------- vertex feature propagation
+
+
+def test_feature_propagation_matches_brute(spark):
+    """2-hop integer-basis-point neighbor mean equals a direct Python
+    computation, and the array face agrees with the flat face."""
+    from collections import defaultdict
+
+    from graphminer_spark.graph.features import (
+        propagate_features,
+        propagate_features_flat,
+        synthetic_features_flat,
+        with_synthetic_features,
+    )
+
+    raw = _random_graph(30, 70, 3)
+    edges = sorted({(min(a, b), max(a, b)) for a, b in raw if a != b})
+    sym = symmetrize(edges_df(spark, edges), dedup=False)
+    verts = sym.select(F.col("src").alias("id")).distinct()
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+
+    feat = {(v, d): (v * 31 + d * 17) % 1000 for v in adj for d in range(4)}
+    for _ in range(2):
+        feat = {
+            (v, d): (10000 * sum(feat[(u, d)] for u in adj[v])) // len(adj[v])
+            for v in adj
+            for d in range(4)
+        }
+    flat = propagate_features_flat(
+        sym, synthetic_features_flat(verts), hops=2
+    )
+    got = {(r["id"], r["d"]): r["val"] for r in flat.collect()}
+    assert got == feat
+
+    # array face: same values back on the input's float scale
+    # (flat ints are the float features × 1000, so expected float
+    # result = flat result / 1000 / 10^(4·hops))
+    arr = propagate_features(
+        sym, with_synthetic_features(verts), hops=2
+    ).collect()
+    for r in arr:
+        for d, x in enumerate(r["feat"]):
+            e = feat[(r["id"], d)] / 1000.0 / 1e8
+            assert abs(x - e) < 1e-4 * max(1.0, abs(e))
+
+
 # ------------------------------------------------- pangolin atlas guard
 
 
