@@ -283,6 +283,7 @@ def match_embeddings(
     prune: bool | str = "auto",
     skew_threshold: float = 4.0,
     _aux: list | None = None,
+    _plan_probe: dict | None = None,
 ) -> DataFrame:
     """Embeddings DataFrame ``(v0 .. v{n-1})`` — one row per assignment
     satisfying edges, lt/distinctness constraints, labels, and (if
@@ -304,6 +305,15 @@ def match_embeddings(
     stage on/off (the reference similarly makes its filter strategy a
     per-query choice, GQL/CFL/DPiso/...). Unlabeled patterns keep the
     static greedy order and skip filtering entirely.
+
+    When the filter stage runs, the matching order uses POST-FILTER
+    candidate cardinalities — each position's candidate table is built
+    once, counted (one cheap job over the |V|-bounded filter tables),
+    and reused for the enumeration semi-joins. This is the actual GQL
+    plan (``src/query/query_plan.cc``: order by filtered candidate
+    count, not raw label frequency) — degree/NLF pruning can shrink a
+    frequent label's candidate set below a rare label's, flipping the
+    optimal seed.
     """
     labeled = spec.vlabels is not None and any(
         l is not None for l in spec.vlabels
@@ -352,14 +362,31 @@ def match_embeddings(
             else:
                 deg = deg.localCheckpoint(eager=True)
                 nlf_df = nlf_df.localCheckpoint(eager=True)
-    (a, b), levels = _level_plan(spec, cand_est)
     sym = sym_edges.select("src", "dst")
-
-    def cand_ids(pos: int) -> DataFrame | None:
-        if labeled and use_filters:
-            return build_candidates(
+    cand_tables: dict[int, DataFrame] = {}
+    if use_filters:
+        # build every position's candidate table ONCE; its exact count
+        # refines the matching-order estimate (the GQL order), and the
+        # same materialized table feeds the enumeration semi-joins
+        for pos in range(spec.n):
+            c = build_candidates(
                 sym, spec, labeled_vertices, pos, deg=deg, nlf_df=nlf_df
             )
+            if _aux is not None:
+                c = c.persist()
+                _aux.append(c)
+            else:
+                c = c.localCheckpoint(eager=True)
+            cand_tables[pos] = c
+        cand_est = [cand_tables[p].count() for p in range(spec.n)]
+    (a, b), levels = _level_plan(spec, cand_est)
+    if _plan_probe is not None:
+        _plan_probe["cand_est"] = cand_est
+        _plan_probe["seed"] = (a, b)
+
+    def cand_ids(pos: int) -> DataFrame | None:
+        if use_filters:
+            return cand_tables[pos]
         if spec.vlabels is None or spec.vlabels[pos] is None:
             return None
         assert labeled_vertices is not None, "labeled pattern needs vertices"
@@ -591,11 +618,26 @@ def motif_counts_induced(
     """Vertex-induced k-motif counts, one row with one column per
     connected k-vertex pattern (``n_g{k}_{idx}``) — the AutoMine
     surface (``src/motif/cpu_kernels/automine_base.h``) via the generic
-    induced matcher."""
+    induced matcher.
+
+    The edge table is persisted across the per-pattern enumerations
+    (they all scan it; one materialization instead of 21). The
+    Pangolin shared-growth census (``pangolin.mine_motifs``) was
+    benchmarked head-to-head as the alternative and LOSES on the
+    path-dominated census graphs (174.8 s vs 160.2 s at the k=5 gate
+    scale): the symmetry-broken per-pattern joins are output-optimal,
+    so their summed cost ≈ the total set count the shared growth also
+    pays — plus the shared path's per-level array dedup shuffles.
+    Recorded in BENCH/BASELINE.md; agreement between the two engines
+    stays pytest-asserted.
+    """
+    sym = sym_edges.persist()
     out = None
     for spec in connected_graphs(k):
-        c = count_matches(sym_edges, spec)
+        c = count_matches(sym, spec)
         out = c if out is None else out.crossJoin(c)
+    out = out.localCheckpoint(eager=True)
+    sym.unpersist()
     return out
 
 

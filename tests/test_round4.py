@@ -360,6 +360,46 @@ def test_fsm_4edge_matches_universal_brute(spark):
         assert sorted(brute[sh]) == sorted(got[sh]), f"shape {sh} mismatch"
 
 
+# --------------------------------- post-filter cardinality query order
+
+
+def test_query_order_uses_post_filter_cardinality(spark):
+    """GQL-style refinement: the matching order follows FILTERED
+    candidate counts, not raw label frequency — on a fixture where the
+    frequent label's candidates collapse under the degree/NLF filter,
+    the seed flips to that position (and the count stays exact)."""
+    from graphminer_spark.algorithms.subgraph import (
+        PatternSpec,
+        count_matches,
+        match_embeddings,
+    )
+
+    # one label-0 hub in 2 triangles; 48 degree-1 label-0 decoys
+    edges = [
+        (0, 100), (0, 200), (100, 200),
+        (0, 101), (0, 201), (101, 201),
+    ] + [(i, 100) for i in range(2, 50)]
+    sym = symmetrize(edges_df(spark, edges), dedup=False)
+    lv = spark.createDataFrame(
+        [(i, 0) for i in range(50)]
+        + [(100, 1), (101, 1), (200, 2), (201, 2)],
+        "id long, vlabel int",
+    )
+    spec = PatternSpec(
+        "t012", 3, ((0, 1), (0, 2), (1, 2)), vlabels=(0, 1, 2)
+    )
+    probe: dict = {}
+    emb = match_embeddings(sym, spec, lv, prune=True, _plan_probe=probe)
+    # label histogram says position 0 is the WORST seed (50 label-0
+    # vertices vs 2/2); the post-filter counts say it is the best (1)
+    assert probe["cand_est"] == [1, 2, 2]
+    assert 0 in probe["seed"]
+    assert emb.count() == 2
+    # pruned and unpruned plans agree
+    n_noprune = count_matches(sym, spec, lv, prune=False).collect()[0][0]
+    assert n_noprune == 2
+
+
 # ------------------------------------------- vertex feature propagation
 
 
