@@ -780,15 +780,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     CORRECTNESS file records the first 50 entries, so positions 1-50
     certify one representative of EVERY operator family (north-rule
     algorithms and graph core first, then patterns/FSM/Query, then one
-    row per LLM-pipeline family). Redundant variants (extra SgL
-    shapes, low-k cliques, the individual text queries subsumed by
-    docs_text_stats, events/OLAP extras) sit past the cap and stay
-    covered by ``tools/check_oracles.py`` locally."""
+    row per LLM-pipeline family). Round-4 ROTATION: which variant
+    occupies each family's slot rotates between rounds so every entry
+    accumulates a driver verdict over time — this round 12 entries that
+    sat past the cap in r03 (clique4/8, sgl_pentagon/hourglass,
+    rev-label-index, minhash sigs, simhash, quality, frame-sample,
+    emb near-dup, events, OLAP) hold their family's slot, and the
+    round-3 holders moved past the cap, still covered by
+    ``tools/check_oracles.py`` locally."""
     return {
         # --- graph core + north-rule algorithms (§2.2/§2.4) ---
         "graph_edges": _q_edges,
         "graph_degrees": _q_degrees,
-        "graph_degree_hist": _q_degree_hist,
         "graph_dag": _q_dag_edges,
         "tc_total": _q_tc_total,
         "tc_per_edge": _q_tc_per_edge,
@@ -796,7 +799,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_5iter": _q_pagerank5,
         "pagerank_5iter_csr": _q_pagerank5_csr,
         "ppr_5iter": _q_ppr5,
-        "wpr_5iter": _q_wpr5,
         "cc_components": _q_cc,
         "lp_labels_2iter": _q_lp2,
         "graph_kcore": _q_kcore,
@@ -807,15 +809,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_assortativity": _q_assortativity,
         "temporal_tri_count": _q_temporal_tri,
         "dyn_tri_delta": _q_dyn_tri,
-        # --- patterns / motifs / cliques ---
-        "clique6_total": _q_clique6,
-        "clique7_total": _q_clique7,
+        # --- patterns / motifs / cliques (rotated: 4/8 ← 6/7) ---
+        "clique4_total": _q_clique4,
+        "clique8_total": _q_clique8,
         "motif4_counts": _q_motif4,
         "motif5_counts": _q_motif5,
         "pattern_counts": _q_patterns,
-        # --- labels / FSM / Query pipeline / GKS / bipartite ---
+        # --- labels / features / FSM / Query pipeline / GKS / bipartite ---
         "graph_label_freq": _q_label_freq,
-        "graph_nlf": _q_nlf,
+        "graph_rev_label_index": _q_rev_label_index,
         "graph_feat_agg": _q_feat_agg,
         "labeled_tri_count": _q_labeled_tri,
         "fsm_edge_support": _q_fsm_edges,
@@ -824,51 +826,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fsm_4edge_support": _q_fsm_4edge,
         "fsm_elabel_support": _q_fsm_elabel,
         "fsm_elabel_2edge_support": _q_fsm_elabel_2edge,
-        "query_labeled_diamond": _q_labeled_diamond,
         "query_labeled_4path": _q_labeled_4path,
         "gks_3keywords": _q_gks,
-        "bip_degrees": _q_bip_degrees,
         "bip_butterflies": _q_butterflies,
-        # --- SgL representatives (full family continues past the cap) ---
-        "sgl_house": _mk_sgl_query("house"),
-        "sgl_taileddiamond2": _mk_sgl_query("taileddiamond2"),
-        # --- one row per LLM-pipeline family ---
+        # --- SgL representatives (rotated: pentagon/hourglass) ---
+        "sgl_pentagon": _mk_sgl_query("pentagon"),
+        "sgl_hourglass": _mk_sgl_query("hourglass"),
+        # --- one row per LLM-pipeline family (rotated variants) ---
         "docs_exact_dedup": _q_exact_dedup,
-        "docs_lsh_neardup": _q_lsh_neardup,
+        "docs_minhash_sigs": _q_minhash,
         "docs_jaccard_pairs": _q_jaccard_pairs,
-        "docs_simhash_neardup": _q_simhash_neardup,
-        "docs_text_stats": _q_text_stats,
+        "docs_simhash": _q_simhash,
+        "docs_quality": _q_quality,
         "emb_knn": _q_knn,
-        "emb_lsh_ann": _q_lsh_ann,
         "emb_ivf_ann": _q_ivf_ann,
-        "mm_media_meta": _q_mm_meta,
+        "emb_neardup": _q_emb_neardup,
+        "mm_frame_sample": _q_mm_frames,
+        # --- events + OLAP (first driver rows for these families) ---
+        "ev_windowed_counts": _q_ev_windows,
+        "olap_revenue_rollup": _q_rollup,
         # ---------------- past the 50-entry driver cap ----------------
+        "graph_degree_hist": _q_degree_hist,
+        "graph_nlf": _q_nlf,
+        "wpr_5iter": _q_wpr5,
         "cc_sizes": _q_cc_sizes,
         **{
             f"sgl_{n}": _mk_sgl_query(n)
             for n in sorted(SGL_GRAPH)
-            if n not in ("house", "taileddiamond2")
+            if n not in ("pentagon", "hourglass")
         },
-        "clique4_total": _q_clique4,
         "clique5_total": _q_clique5,
-        "clique8_total": _q_clique8,
+        "clique6_total": _q_clique6,
+        "clique7_total": _q_clique7,
         "clique9_total": _q_clique9,
-        "graph_rev_label_index": _q_rev_label_index,
-        "emb_neardup": _q_emb_neardup,
-        "docs_minhash_sigs": _q_minhash,
-        "docs_simhash": _q_simhash,
+        "query_labeled_diamond": _q_labeled_diamond,
+        "bip_degrees": _q_bip_degrees,
+        "docs_lsh_neardup": _q_lsh_neardup,
+        "docs_simhash_neardup": _q_simhash_neardup,
+        "docs_text_stats": _q_text_stats,
         "docs_token_count": _q_token_count,
-        "docs_quality": _q_quality,
         "docs_langid": _q_langid,
         "docs_fingerprint": _q_fingerprint,
         "docs_top_terms": _q_top_terms,
-        "mm_frame_sample": _q_mm_frames,
+        "emb_lsh_ann": _q_lsh_ann,
+        "mm_media_meta": _q_mm_meta,
         "mm_asset_dedup": _q_mm_dedup,
-        "ev_windowed_counts": _q_ev_windows,
         "ev_sessions": _q_ev_sessions,
         "ev_top_users": _q_ev_top_users,
         "ev_funnel": _q_ev_funnel,
-        "olap_revenue_rollup": _q_rollup,
         "olap_top_parts": _q_top_parts,
         "olap_status_pivot": _q_pivot,
     }
