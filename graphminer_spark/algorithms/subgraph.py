@@ -275,6 +275,43 @@ def build_candidates(
     return c
 
 
+def refine_candidates(
+    sym: DataFrame,
+    spec: PatternSpec,
+    cand: dict[int, DataFrame],
+    rounds: int = 1,
+) -> dict[int, DataFrame]:
+    """CFL/DPiso-style structural refinement of the filter stage's
+    candidate sets (``src/query/filter.cc`` — the tree-structured
+    pruning schemes beyond plain NLF): each round keeps a candidate of
+    position p only if it has ≥ 1 neighbor in the CURRENT candidate
+    set of every pattern-adjacent position q. Sound (no embedding's
+    vertex is ever removed — its pattern neighbors are themselves
+    candidates) and monotone, so any fixed round count is a valid
+    filter; each round is one semi-join chain, shuffle-bounded by
+    |V| + |E|, never materializing adjacency."""
+    adj = spec.adj()
+    for _ in range(rounds):
+        # neighbors-of-candidates, computed once per position per round
+        nbrs = {
+            q: sym.join(
+                cand[q].select(F.col("id").alias("dst")), "dst", "left_semi"
+            ).select(F.col("src").alias("id"))
+            for q in range(spec.n)
+        }
+        cand = {
+            p: _reduce_semijoin(cand[p], [nbrs[q] for q in sorted(adj[p])])
+            for p in range(spec.n)
+        }
+    return cand
+
+
+def _reduce_semijoin(c: DataFrame, filters: list[DataFrame]) -> DataFrame:
+    for f in filters:
+        c = c.join(f, "id", "left_semi")
+    return c
+
+
 def match_embeddings(
     sym_edges: DataFrame,
     spec: PatternSpec,
@@ -282,6 +319,7 @@ def match_embeddings(
     n_classes: int = 7,
     prune: bool | str = "auto",
     skew_threshold: float = 4.0,
+    refine: int = 0,
     _aux: list | None = None,
     _plan_probe: dict | None = None,
 ) -> DataFrame:
@@ -369,9 +407,14 @@ def match_embeddings(
         # refines the matching-order estimate (the GQL order), and the
         # same materialized table feeds the enumeration semi-joins
         for pos in range(spec.n):
-            c = build_candidates(
+            cand_tables[pos] = build_candidates(
                 sym, spec, labeled_vertices, pos, deg=deg, nlf_df=nlf_df
             )
+        if refine > 0:
+            # CFL/DPiso structural rounds on top of the NLF stage
+            cand_tables = refine_candidates(sym, spec, cand_tables, refine)
+        for pos in range(spec.n):
+            c = cand_tables[pos]
             if _aux is not None:
                 c = c.persist()
                 _aux.append(c)
@@ -439,6 +482,7 @@ def count_matches(
     labeled_vertices: DataFrame | None = None,
     alias: str | None = None,
     prune: bool | str = "auto",
+    refine: int = 0,
 ) -> DataFrame:
     """Subgraph count (each unordered embedding once) → single row.
 
@@ -448,7 +492,8 @@ def count_matches(
     alias = alias or f"n_{spec.name}"
     aux: list = []
     emb = match_embeddings(
-        sym_edges, spec, labeled_vertices, prune=prune, _aux=aux
+        sym_edges, spec, labeled_vertices, prune=prune, refine=refine,
+        _aux=aux,
     )
     cnt = emb.agg(F.count("*").alias("_o"))
     if spec.lt:

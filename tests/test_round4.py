@@ -400,6 +400,46 @@ def test_query_order_uses_post_filter_cardinality(spark):
     assert n_noprune == 2
 
 
+def test_candidate_refinement_sound_and_effective(spark):
+    """CFL/DPiso structural rounds: counts are invariant for any round
+    count, and on a fixture with structurally-dead candidates (right
+    label + degree + NLF, but no neighbor that itself is a candidate)
+    the refined sets are strictly smaller."""
+    from graphminer_spark.algorithms.subgraph import (
+        PatternSpec,
+        count_matches,
+        match_embeddings,
+    )
+
+    # labeled 4-path 0-1-2-3; decoy section: label-1/label-2 vertices
+    # that satisfy NLF locally but whose would-be continuation dead-ends
+    edges = [
+        # real 4-paths: 10-20-30-40, 11-20-30-41
+        (10, 20), (11, 20), (20, 30), (30, 40), (30, 41),
+        # decoys: 21 (label 1) sees label-0 and label-2 neighbors, but
+        # its label-2 neighbor 31 has no label-3 neighbor at all
+        (12, 21), (21, 31), (31, 13),
+    ]
+    lv = spark.createDataFrame(
+        [(10, 0), (11, 0), (12, 0), (13, 0),
+         (20, 1), (21, 1), (30, 2), (31, 2), (40, 3), (41, 3)],
+        "id long, vlabel int",
+    )
+    sym = symmetrize(edges_df(spark, edges), dedup=False)
+    spec = PatternSpec(
+        "lp4", 4, ((0, 1), (1, 2), (2, 3)), vlabels=(0, 1, 2, 3)
+    )
+    p0, p1 = {}, {}
+    match_embeddings(sym, spec, lv, prune=True, refine=0, _plan_probe=p0)
+    match_embeddings(sym, spec, lv, prune=True, refine=2, _plan_probe=p1)
+    # decoy 21/31 (and dead-end 12) survive NLF but not refinement
+    assert sum(p1["cand_est"]) < sum(p0["cand_est"])
+    # {10,11} × 20 × 30 × {40,41} = 4 labeled paths, any round count
+    for r in (0, 1, 2):
+        n = count_matches(sym, spec, lv, prune=True, refine=r).collect()[0][0]
+        assert n == 4, f"refine={r}"
+
+
 # ------------------------------------------- vertex feature propagation
 
 
