@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from graphminer_spark.checkpoint import CheckpointManager
+from graphminer_spark.checkpoint import CheckpointManager, superstep_planning
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
@@ -95,17 +95,20 @@ def connected_components(
         edges, 0, {"algo": "cc", "phase": "init"}, _fingerprint_aggs()
     )
     prev_fp = _fp_of(row)
-    for it in range(1, max_iter + 1):
-        edges, row = ckpt.save_and_agg(
-            _small_star(_large_star(edges)),
-            it,
-            {"algo": "cc", "edges": prev_fp[0]},
-            _fingerprint_aggs(),
-        )
-        fp = _fp_of(row)
-        if fp == prev_fp:
-            break
-        prev_fp = fp
+    # AQE cost-gated for the loop (the init fingerprint's first field
+    # IS the edge count — the gate is free)
+    with superstep_planning(sym_edges.sparkSession, prev_fp[0]):
+        for it in range(1, max_iter + 1):
+            edges, row = ckpt.save_and_agg(
+                _small_star(_large_star(edges)),
+                it,
+                {"algo": "cc", "edges": prev_fp[0]},
+                _fingerprint_aggs(),
+            )
+            fp = _fp_of(row)
+            if fp == prev_fp:
+                break
+            prev_fp = fp
     # converged: edges form stars (u → component-min); roots label selves
     members = edges.select(F.col("u").alias("id"), F.col("v").alias("component"))
     roots = edges.select(F.col("v").alias("id"), F.col("v").alias("component"))
@@ -131,39 +134,40 @@ def cc_hashmin(
     ckpt = checkpointer or CheckpointManager(None)
     labels = vertices.select("id", F.col("id").alias("component"))
     labels = ckpt.save(labels, 0, {"algo": "cc_hashmin"})
-    for it in range(1, max_iter + 1):
-        nbr_min = (
-            sym_edges.join(labels, sym_edges["src"] == labels["id"])
-            .groupBy(F.col("dst").alias("id"))
-            .agg(F.min("component").alias("nbr_min"))
-        )
-        # carry prev inside the state; changed-count rides the
-        # materializing aggregate — ONE action per round, and no
-        # new⋈old join (which recomputed the superstep a second time)
-        new = (
-            labels.join(nbr_min, "id", "left")
-            .select(
-                "id",
-                F.least(
-                    "component", F.coalesce("nbr_min", F.col("component"))
-                ).alias("component"),
-                F.col("component").alias("prev"),
+    with superstep_planning(sym_edges.sparkSession, sym_edges.count()):
+        for it in range(1, max_iter + 1):
+            nbr_min = (
+                sym_edges.join(labels, sym_edges["src"] == labels["id"])
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.min("component").alias("nbr_min"))
             )
-        )
-        state, row = ckpt.save_and_agg(
-            new,
-            it,
-            {"algo": "cc_hashmin"},
-            [
-                F.sum(
-                    F.when(F.col("component") != F.col("prev"), 1).otherwise(0)
-                ).alias("changed")
-            ],
-        )
-        changed = int(row["changed"] or 0)
-        labels = state.select("id", "component")
-        if changed == 0:
-            break
+            # carry prev inside the state; changed-count rides the
+            # materializing aggregate — ONE action per round, and no
+            # new⋈old join (which recomputed the superstep a second time)
+            new = (
+                labels.join(nbr_min, "id", "left")
+                .select(
+                    "id",
+                    F.least(
+                        "component", F.coalesce("nbr_min", F.col("component"))
+                    ).alias("component"),
+                    F.col("component").alias("prev"),
+                )
+            )
+            state, row = ckpt.save_and_agg(
+                new,
+                it,
+                {"algo": "cc_hashmin"},
+                [
+                    F.sum(
+                        F.when(F.col("component") != F.col("prev"), 1).otherwise(0)
+                    ).alias("changed")
+                ],
+            )
+            changed = int(row["changed"] or 0)
+            labels = state.select("id", "component")
+            if changed == 0:
+                break
     return labels
 
 
@@ -190,26 +194,29 @@ def bfs_distances(
     d = spark.createDataFrame([(source, 0)], "id long, dist long")
     d = ckpt.save(d, 0, {"algo": "bfs"})
     prev_sig = (1, 0)
-    for it in range(1, max_iter + 1):
-        cand = (
-            d.join(sym_edges.select(F.col("src").alias("id"), "dst"), "id")
-            .select(F.col("dst").alias("id"), (F.col("dist") + 1).alias("dist"))
-        )
-        new_d = (
-            d.unionByName(cand)
-            .groupBy("id")
-            .agg(F.min("dist").alias("dist"))
-        )
-        # fixpoint signature rides the materializing aggregate — ONE
-        # action per round
-        d, row = ckpt.save_and_agg(
-            new_d,
-            it,
-            {"algo": "bfs"},
-            [F.count("*").alias("n"), F.sum("dist").alias("s")],
-        )
-        sig = (row["n"], row["s"] or 0)
-        if sig == prev_sig:
-            break
-        prev_sig = sig
+    with superstep_planning(spark, sym_edges.count()):
+        for it in range(1, max_iter + 1):
+            cand = (
+                d.join(sym_edges.select(F.col("src").alias("id"), "dst"), "id")
+                .select(
+                    F.col("dst").alias("id"), (F.col("dist") + 1).alias("dist")
+                )
+            )
+            new_d = (
+                d.unionByName(cand)
+                .groupBy("id")
+                .agg(F.min("dist").alias("dist"))
+            )
+            # fixpoint signature rides the materializing aggregate — ONE
+            # action per round
+            d, row = ckpt.save_and_agg(
+                new_d,
+                it,
+                {"algo": "bfs"},
+                [F.count("*").alias("n"), F.sum("dist").alias("s")],
+            )
+            sig = (row["n"], row["s"] or 0)
+            if sig == prev_sig:
+                break
+            prev_sig = sig
     return d

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from graphminer_spark.checkpoint import CheckpointManager
+from graphminer_spark.checkpoint import CheckpointManager, superstep_planning
 
 
 def hits(
@@ -38,7 +38,7 @@ def hits(
     verts = vertices.select("id").repartition("id").persist()
     n = verts.count()
     e = edges.select("src", "dst").persist()
-    e.count()
+    m = e.count()
 
     # saved in the SAME (id, auth, h_raw) layout as every fused
     # iteration (uniform scores sum to 1, so h_raw IS the hub score);
@@ -53,48 +53,49 @@ def hits(
     # materialized with the UNnormalized score column, and the same
     # aggregate job returns the normalization sum — the next projection
     # divides by it as a literal, so there is no separate collect.
-    for it in range(1, n_iter + 1):
-        auth_raw = (
-            e.join(
-                state.select(F.col("id").alias("src"), "hub"), "src"
+    with superstep_planning(edges.sparkSession, m):
+        for it in range(1, n_iter + 1):
+            auth_raw = (
+                e.join(
+                    state.select(F.col("id").alias("src"), "hub"), "src"
+                )
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.sum("hub").alias("a_raw"))
             )
-            .groupBy(F.col("dst").alias("id"))
-            .agg(F.sum("hub").alias("a_raw"))
-        )
-        half, row = materialize_with_agg(
-            state.select("id", "hub").join(auth_raw, "id", "left"),
-            F.sum("a_raw").alias("s"),
-        )
-        a_sum = row["s"] or 1.0
-        with_auth = half.select(
-            "id",
-            "hub",
-            (F.coalesce("a_raw", F.lit(0.0)) / a_sum).alias("auth"),
-        )
-        hub_raw = (
-            e.join(
-                with_auth.select(F.col("id").alias("dst"), "auth"), "dst"
+            half, row = materialize_with_agg(
+                state.select("id", "hub").join(auth_raw, "id", "left"),
+                F.sum("a_raw").alias("s"),
             )
-            .groupBy(F.col("src").alias("id"))
-            .agg(F.sum("auth").alias("h_raw"))
-        )
-        # full step goes through the CheckpointManager so durable
-        # cadence still lands parquet states (the saved layout carries
-        # the UNnormalized h_raw + its sum is re-derivable by scan)
-        full, row = ckpt.save_and_agg(
-            with_auth.select("id", "auth")
-            .join(hub_raw, "id", "left")
-            .withColumn("h_raw", F.coalesce("h_raw", F.lit(0.0))),
-            it,
-            {"algo": "hits"},
-            [F.sum("h_raw").alias("s")],
-        )
-        h_sum = row["s"] or 1.0
-        state = full.select(
-            "id",
-            (F.col("h_raw") / h_sum).alias("hub"),
-            "auth",
-        )
+            a_sum = row["s"] or 1.0
+            with_auth = half.select(
+                "id",
+                "hub",
+                (F.coalesce("a_raw", F.lit(0.0)) / a_sum).alias("auth"),
+            )
+            hub_raw = (
+                e.join(
+                    with_auth.select(F.col("id").alias("dst"), "auth"), "dst"
+                )
+                .groupBy(F.col("src").alias("id"))
+                .agg(F.sum("auth").alias("h_raw"))
+            )
+            # full step goes through the CheckpointManager so durable
+            # cadence still lands parquet states (the saved layout carries
+            # the UNnormalized h_raw + its sum is re-derivable by scan)
+            full, row = ckpt.save_and_agg(
+                with_auth.select("id", "auth")
+                .join(hub_raw, "id", "left")
+                .withColumn("h_raw", F.coalesce("h_raw", F.lit(0.0))),
+                it,
+                {"algo": "hits"},
+                [F.sum("h_raw").alias("s")],
+            )
+            h_sum = row["s"] or 1.0
+            state = full.select(
+                "id",
+                (F.col("h_raw") / h_sum).alias("hub"),
+                "auth",
+            )
     verts.unpersist()
     e.unpersist()
     return state

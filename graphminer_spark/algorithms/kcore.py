@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from graphminer_spark.checkpoint import CheckpointManager
+from graphminer_spark.checkpoint import CheckpointManager, superstep_planning
 from graphminer_spark.graph.build import degrees
 
 
@@ -34,20 +34,21 @@ def kcore(
         [F.count("*").alias("n")],
     )
     old_n = row["n"]
-    for it in range(1, max_iter + 1):
-        deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
-        keep = deg.filter(F.col("deg") >= k).select("src")
-        new_edges = (
-            edges.join(keep, "src", "left_semi")
-            .join(keep.select(F.col("src").alias("dst")), "dst", "left_semi")
-        )
-        edges, row = ckpt.save_and_agg(
-            new_edges, it, {"algo": f"kcore{k}"}, [F.count("*").alias("n")]
-        )
-        new_n = row["n"]
-        if new_n == old_n:
-            break
-        old_n = new_n
+    with superstep_planning(sym_edges.sparkSession, old_n):
+        for it in range(1, max_iter + 1):
+            deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+            keep = deg.filter(F.col("deg") >= k).select("src")
+            new_edges = (
+                edges.join(keep, "src", "left_semi")
+                .join(keep.select(F.col("src").alias("dst")), "dst", "left_semi")
+            )
+            edges, row = ckpt.save_and_agg(
+                new_edges, it, {"algo": f"kcore{k}"}, [F.count("*").alias("n")]
+            )
+            new_n = row["n"]
+            if new_n == old_n:
+                break
+            old_n = new_n
     return edges.select(F.col("src").alias("id")).distinct()
 
 
@@ -80,43 +81,45 @@ def core_numbers_hindex(
         .agg(F.count("*").alias("core"))
     )
     c = ckpt.save(c, 0, {"algo": "coreness_hindex"})
-    for it in range(1, max_iter + 1):
-        vals = (
-            edges.join(c.select(F.col("id").alias("dst"), "core"), "dst")
-            .groupBy("src", "core")
-            .agg(F.count("*").alias("n"))
-        )
-        w = (
-            Window.partitionBy("src")
-            .orderBy(F.col("core").desc())
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-        # h-index over distinct values: cum = #neighbors with value >=
-        # core; candidate h = min(core, cum); h-index = max candidate
-        h = (
-            vals.withColumn("cum", F.sum("n").over(w))
-            .groupBy(F.col("src").alias("id"))
-            .agg(F.max(F.least("core", "cum")).alias("h"))
-        )
-        # h(v) can only decrease; carry prev inside the state AND fold
-        # the changed-count into the materializing aggregate — ONE
-        # driver action per round (same fusion as pagerank)
-        new_c = c.join(h, "id").select(
-            "id", F.col("h").alias("core"), F.col("core").alias("prev")
-        )
-        new_c, row = ckpt.save_and_agg(
-            new_c,
-            it,
-            {"algo": "coreness_hindex"},
-            [
-                F.sum(
-                    F.when(F.col("core") != F.col("prev"), 1).otherwise(0)
-                ).alias("changed")
-            ],
-        )
-        c = new_c.select("id", "core")
-        if not row["changed"]:
-            break
+    m = edges.count()
+    with superstep_planning(sym_edges.sparkSession, m):
+        for it in range(1, max_iter + 1):
+            vals = (
+                edges.join(c.select(F.col("id").alias("dst"), "core"), "dst")
+                .groupBy("src", "core")
+                .agg(F.count("*").alias("n"))
+            )
+            w = (
+                Window.partitionBy("src")
+                .orderBy(F.col("core").desc())
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            # h-index over distinct values: cum = #neighbors with value >=
+            # core; candidate h = min(core, cum); h-index = max candidate
+            h = (
+                vals.withColumn("cum", F.sum("n").over(w))
+                .groupBy(F.col("src").alias("id"))
+                .agg(F.max(F.least("core", "cum")).alias("h"))
+            )
+            # h(v) can only decrease; carry prev inside the state AND fold
+            # the changed-count into the materializing aggregate — ONE
+            # driver action per round (same fusion as pagerank)
+            new_c = c.join(h, "id").select(
+                "id", F.col("h").alias("core"), F.col("core").alias("prev")
+            )
+            new_c, row = ckpt.save_and_agg(
+                new_c,
+                it,
+                {"algo": "coreness_hindex"},
+                [
+                    F.sum(
+                        F.when(F.col("core") != F.col("prev"), 1).otherwise(0)
+                    ).alias("changed")
+                ],
+            )
+            c = new_c.select("id", "core")
+            if not row["changed"]:
+                break
     return c
 
 

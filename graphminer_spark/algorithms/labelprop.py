@@ -19,7 +19,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from graphminer_spark.checkpoint import CheckpointManager
+from graphminer_spark.checkpoint import CheckpointManager, superstep_planning
 
 
 @dataclass
@@ -41,60 +41,61 @@ def label_propagation(
     no label changes (convergence metric = changed-vertex count)."""
     ckpt = checkpointer or CheckpointManager(None)
     e = sym_edges.select("src", "dst").repartition("dst").persist()
-    e.count()
+    m = e.count()
     labels = vertices.select("id", F.col("id").alias("label"))
     labels = ckpt.save(labels, 0, {"algo": "lp"})
     changed_hist: list[int] = []
     converged = False
     it = 0
-    for it in range(1, n_iter + 1):
-        counts = (
-            e.join(labels, e["src"] == labels["id"])
-            .groupBy(F.col("dst"), F.col("label"))
-            .agg(F.count("*").alias("cnt"))
-        )
-        # argmax by (cnt, -label): max count, ties → smallest label
-        best = counts.groupBy(F.col("dst").alias("id")).agg(
-            F.max_by(
-                F.col("label"), F.struct(F.col("cnt"), (-F.col("label")).alias("nl"))
-            ).alias("new_label")
-        )
-        # the changed-count is the convergence METRIC — in fixed-
-        # iteration mode it buys nothing, so it only runs when the
-        # caller asked to stop on stability. It reads the prev label
-        # carried INSIDE the saved state (one scan of the checkpoint),
-        # not a new⋈old join, which would both add two exchanges and
-        # recompute the superstep a second time before the save.
-        if until_stable:
-            new = labels.join(best, "id", "left").select(
-                "id",
-                F.coalesce("new_label", F.col("label")).alias("label"),
-                F.col("label").alias("prev_label"),
+    with superstep_planning(sym_edges.sparkSession, m):
+        for it in range(1, n_iter + 1):
+            counts = (
+                e.join(labels, e["src"] == labels["id"])
+                .groupBy(F.col("dst"), F.col("label"))
+                .agg(F.count("*").alias("cnt"))
             )
-            # ONE action: the changed-count aggregate materializes the
-            # lazily-checkpointed state (save_and_agg fusion)
-            labels, row = ckpt.save_and_agg(
-                new,
-                it,
-                {"algo": "lp"},
-                [
-                    F.sum(
-                        F.when(
-                            F.col("label") != F.col("prev_label"), 1
-                        ).otherwise(0)
-                    ).alias("changed")
-                ],
+            # argmax by (cnt, -label): max count, ties → smallest label
+            best = counts.groupBy(F.col("dst").alias("id")).agg(
+                F.max_by(
+                    F.col("label"), F.struct(F.col("cnt"), (-F.col("label")).alias("nl"))
+                ).alias("new_label")
             )
-            changed = int(row["changed"] or 0)
-            changed_hist.append(changed)
-            ckpt.log(it, {"algo": "lp", "changed": changed})
-            if changed == 0:
-                converged = True
-                break
-        else:
-            new = labels.join(best, "id", "left").select(
-                "id", F.coalesce("new_label", F.col("label")).alias("label")
-            )
-            labels = ckpt.save(new, it, {"algo": "lp"})
+            # the changed-count is the convergence METRIC — in fixed-
+            # iteration mode it buys nothing, so it only runs when the
+            # caller asked to stop on stability. It reads the prev label
+            # carried INSIDE the saved state (one scan of the checkpoint),
+            # not a new⋈old join, which would both add two exchanges and
+            # recompute the superstep a second time before the save.
+            if until_stable:
+                new = labels.join(best, "id", "left").select(
+                    "id",
+                    F.coalesce("new_label", F.col("label")).alias("label"),
+                    F.col("label").alias("prev_label"),
+                )
+                # ONE action: the changed-count aggregate materializes the
+                # lazily-checkpointed state (save_and_agg fusion)
+                labels, row = ckpt.save_and_agg(
+                    new,
+                    it,
+                    {"algo": "lp"},
+                    [
+                        F.sum(
+                            F.when(
+                                F.col("label") != F.col("prev_label"), 1
+                            ).otherwise(0)
+                        ).alias("changed")
+                    ],
+                )
+                changed = int(row["changed"] or 0)
+                changed_hist.append(changed)
+                ckpt.log(it, {"algo": "lp", "changed": changed})
+                if changed == 0:
+                    converged = True
+                    break
+            else:
+                new = labels.join(best, "id", "left").select(
+                    "id", F.coalesce("new_label", F.col("label")).alias("label")
+                )
+                labels = ckpt.save(new, it, {"algo": "lp"})
     e.unpersist()
     return LabelPropResult(labels.select("id", "label"), it, converged, changed_hist)

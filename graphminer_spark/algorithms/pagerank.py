@@ -31,7 +31,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from graphminer_spark.checkpoint import CheckpointManager
+from graphminer_spark.checkpoint import CheckpointManager, superstep_planning
 
 
 @dataclass
@@ -82,7 +82,7 @@ def pagerank(
     verts.count()
     # edges partitioned by src and persisted likewise.
     e = edges.select("src", "dst").repartition("src").persist()
-    e.count()
+    m = e.count()
 
     n_dangling = verts.filter(F.col("out_deg") == 0).count()
 
@@ -112,22 +112,46 @@ def pagerank(
     # a single fused aggregate — L1 delta AND the next iteration's
     # dangling mass — materializes it (save_and_agg). Fixed-iteration
     # dangling-free runs skip the aggregate and checkpoint every
-    # lineage_every.
-    for it in range(start_iter + 1, max_iter + 1):
-        contribs = (
-            state.filter(F.col("out_deg") > 0)
-            .select(
-                F.col("id").alias("src"),
-                (F.col("rank") / F.col("out_deg")).alias("share"),
+    # lineage_every. AQE is cost-gated for the loop (superstep_planning:
+    # per-action re-planning dominates sub-second supersteps on small
+    # graphs; stays ON at web scale where it pays).
+    with superstep_planning(edges.sparkSession, m):
+        for it in range(start_iter + 1, max_iter + 1):
+            contribs = (
+                state.filter(F.col("out_deg") > 0)
+                .select(
+                    F.col("id").alias("src"),
+                    (F.col("rank") / F.col("out_deg")).alias("share"),
+                )
+                .join(e, "src")
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.sum("share").alias("contrib"))
             )
-            .join(e, "src")
-            .groupBy(F.col("dst").alias("id"))
-            .agg(F.sum("share").alias("contrib"))
-        )
-        base = (1.0 - damping) / n + damping * dangling / n
-        if tol <= 0 and n_dangling == 0:
+            base = (1.0 - damping) / n + damping * dangling / n
+            if tol <= 0 and n_dangling == 0:
+                new_state = (
+                    verts.join(contribs.hint("shuffle_hash"), "id", "left")
+                    .select(
+                        "id",
+                        (
+                            F.lit(base)
+                            + F.lit(damping) * F.coalesce("contrib", F.lit(0.0))
+                        ).alias("rank"),
+                        "out_deg",
+                    )
+                )
+                if it % lineage_every == 0 or it == max_iter:
+                    state = ckpt.save(new_state, it, {"algo": "pagerank"})
+                else:
+                    state = new_state
+                continue
+            # carry prev_rank inside the new state so the delta/dangling
+            # aggregate is one SCAN of the checkpointed state — no per-
+            # superstep state⋈prev join (each such join cost two exchanges,
+            # doubling superstep latency at low scale and shuffle volume at
+            # high scale)
             new_state = (
-                verts.join(contribs.hint("shuffle_hash"), "id", "left")
+                state.join(contribs.hint("shuffle_hash"), "id", "left")
                 .select(
                     "id",
                     (
@@ -135,52 +159,33 @@ def pagerank(
                         + F.lit(damping) * F.coalesce("contrib", F.lit(0.0))
                     ).alias("rank"),
                     "out_deg",
+                    F.col("rank").alias("prev_rank"),
                 )
             )
-            if it % lineage_every == 0 or it == max_iter:
-                state = ckpt.save(new_state, it, {"algo": "pagerank"})
-            else:
-                state = new_state
-            continue
-        # carry prev_rank inside the new state so the delta/dangling
-        # aggregate is one SCAN of the checkpointed state — no per-
-        # superstep state⋈prev join (each such join cost two exchanges,
-        # doubling superstep latency at low scale and shuffle volume at
-        # high scale)
-        new_state = (
-            state.join(contribs.hint("shuffle_hash"), "id", "left")
-            .select(
-                "id",
-                (
-                    F.lit(base)
-                    + F.lit(damping) * F.coalesce("contrib", F.lit(0.0))
-                ).alias("rank"),
-                "out_deg",
-                F.col("rank").alias("prev_rank"),
+            state, row = ckpt.save_and_agg(
+                new_state,
+                it,
+                {"algo": "pagerank"},
+                [
+                    F.sum(F.abs(F.col("rank") - F.col("prev_rank"))).alias("delta"),
+                    F.coalesce(
+                        F.sum(F.when(F.col("out_deg") == 0, F.col("rank"))),
+                        F.lit(0.0),
+                    ).alias("dangling"),
+                ],
             )
-        )
-        state, row = ckpt.save_and_agg(
-            new_state,
-            it,
-            {"algo": "pagerank"},
-            [
-                F.sum(F.abs(F.col("rank") - F.col("prev_rank"))).alias("delta"),
-                F.coalesce(
-                    F.sum(F.when(F.col("out_deg") == 0, F.col("rank"))),
-                    F.lit(0.0),
-                ).alias("dangling"),
-            ],
-        )
-        delta, dangling = float(row["delta"]), float(row["dangling"])
-        deltas.append(delta)
-        ckpt.log(it, {"algo": "pagerank", "delta": delta})
-        if delta < tol:
-            converged = True
-            break
-    if ckpt.base_dir and it % ckpt.every != 0:
-        # last iteration fell between durable checkpoints — persist it
-        # (same-iteration re-save would overwrite the path being read)
-        state = ckpt.save(state, it, {"algo": "pagerank", "final": True}, force=True)
+            delta, dangling = float(row["delta"]), float(row["dangling"])
+            deltas.append(delta)
+            ckpt.log(it, {"algo": "pagerank", "delta": delta})
+            if delta < tol:
+                converged = True
+                break
+        if ckpt.base_dir and it % ckpt.every != 0:
+            # last iteration fell between durable checkpoints — persist it
+            # (same-iteration re-save would overwrite the path being read)
+            state = ckpt.save(
+                state, it, {"algo": "pagerank", "final": True}, force=True
+            )
     # state is checkpoint-materialized (the loop saves at it==max_iter
     # in the fixed-iteration path and every superstep in the tol path);
     # release the superstep inputs so
@@ -225,7 +230,7 @@ def personalized_pagerank(
     if not ns:
         raise ValueError("personalized_pagerank needs a non-empty source set")
     e = edges.select("src", "dst").repartition("src").persist()
-    e.count()
+    m2 = e.count()
 
     _dangling_agg = F.coalesce(
         F.sum(F.when(F.col("out_deg") == 0, F.col("rank"))), F.lit(0.0)
@@ -238,35 +243,36 @@ def personalized_pagerank(
     # `pagerank`) — no separate collect before the update join
     state, row = ckpt.save_and_agg(state, 0, {"algo": "ppr"}, [_dangling_agg])
     dangling = float(row["dangling"])
-    for it in range(1, n_iter + 1):
-        contribs = (
-            state.filter(F.col("out_deg") > 0)
-            .select(
-                F.col("id").alias("src"),
-                (F.col("rank") / F.col("out_deg")).alias("share"),
+    with superstep_planning(edges.sparkSession, m2):
+        for it in range(1, n_iter + 1):
+            contribs = (
+                state.filter(F.col("out_deg") > 0)
+                .select(
+                    F.col("id").alias("src"),
+                    (F.col("rank") / F.col("out_deg")).alias("share"),
+                )
+                .join(e, "src")
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.sum("share").alias("contrib"))
             )
-            .join(e, "src")
-            .groupBy(F.col("dst").alias("id"))
-            .agg(F.sum("share").alias("contrib"))
-        )
-        # teleport+dangling return ONLY to sources: a per-row scalar
-        # multiple of the s indicator — no extra join for personalization
-        back = (1.0 - damping) / ns + damping * dangling / ns
-        state, row = ckpt.save_and_agg(
-            state.join(contribs.hint("shuffle_hash"), "id", "left").select(
-                "id",
-                (
-                    F.lit(back) * F.col("s")
-                    + F.lit(damping) * F.coalesce("contrib", F.lit(0.0))
-                ).alias("rank"),
-                "out_deg",
-                "s",
-            ),
-            it,
-            {"algo": "ppr"},
-            [_dangling_agg],
-        )
-        dangling = float(row["dangling"])
+            # teleport+dangling return ONLY to sources: a per-row scalar
+            # multiple of the s indicator — no extra join for personalization
+            back = (1.0 - damping) / ns + damping * dangling / ns
+            state, row = ckpt.save_and_agg(
+                state.join(contribs.hint("shuffle_hash"), "id", "left").select(
+                    "id",
+                    (
+                        F.lit(back) * F.col("s")
+                        + F.lit(damping) * F.coalesce("contrib", F.lit(0.0))
+                    ).alias("rank"),
+                    "out_deg",
+                    "s",
+                ),
+                it,
+                {"algo": "ppr"},
+                [_dangling_agg],
+            )
+            dangling = float(row["dangling"])
     verts.unpersist()
     e.unpersist()
     return PageRankResult(state.select("id", "rank"), n_iter, False, [])
@@ -298,7 +304,7 @@ def pagerank_weighted(
         .persist()
     )
     e = wedges.select("src", "dst", "w").repartition("src").persist()
-    e.count()
+    m3 = e.count()
 
     _dangling_agg = F.coalesce(
         F.sum(F.when(F.col("w_out") == 0, F.col("rank"))), F.lit(0.0)
@@ -308,32 +314,33 @@ def pagerank_weighted(
     # superstep's dangling mass — ONE action per superstep
     state, row = ckpt.save_and_agg(state, 0, {"algo": "wpr"}, [_dangling_agg])
     dangling = float(row["dangling"])
-    for it in range(1, n_iter + 1):
-        contribs = (
-            state.filter(F.col("w_out") > 0)
-            .select(
-                F.col("id").alias("src"),
-                (F.col("rank") / F.col("w_out")).alias("per_w"),
+    with superstep_planning(wedges.sparkSession, m3):
+        for it in range(1, n_iter + 1):
+            contribs = (
+                state.filter(F.col("w_out") > 0)
+                .select(
+                    F.col("id").alias("src"),
+                    (F.col("rank") / F.col("w_out")).alias("per_w"),
+                )
+                .join(e, "src")
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.sum(F.col("per_w") * F.col("w")).alias("contrib"))
             )
-            .join(e, "src")
-            .groupBy(F.col("dst").alias("id"))
-            .agg(F.sum(F.col("per_w") * F.col("w")).alias("contrib"))
-        )
-        base = (1.0 - damping) / n + damping * dangling / n
-        state, row = ckpt.save_and_agg(
-            state.join(contribs.hint("shuffle_hash"), "id", "left").select(
-                "id",
-                (
-                    F.lit(base)
-                    + F.lit(damping) * F.coalesce("contrib", F.lit(0.0))
-                ).alias("rank"),
-                "w_out",
-            ),
-            it,
-            {"algo": "wpr"},
-            [_dangling_agg],
-        )
-        dangling = float(row["dangling"])
+            base = (1.0 - damping) / n + damping * dangling / n
+            state, row = ckpt.save_and_agg(
+                state.join(contribs.hint("shuffle_hash"), "id", "left").select(
+                    "id",
+                    (
+                        F.lit(base)
+                        + F.lit(damping) * F.coalesce("contrib", F.lit(0.0))
+                    ).alias("rank"),
+                    "w_out",
+                ),
+                it,
+                {"algo": "wpr"},
+                [_dangling_agg],
+            )
+            dangling = float(row["dangling"])
     verts.unpersist()
     e.unpersist()
     return PageRankResult(state.select("id", "rank"), n_iter, False, [])
@@ -366,6 +373,7 @@ def pagerank_csr(
     n = vertices.count()
     csr = csr.persist()
     csr.count()
+    m4 = csr.agg(F.sum("out_deg")).collect()[0][0] or 0
 
     def scatter(pdf: pd.DataFrame) -> pd.DataFrame:
         if pdf.empty:
@@ -407,43 +415,44 @@ def pagerank_csr(
     deltas: list[float] = []
     converged = False
     it = 0
-    for it in range(1, max_iter + 1):
-        joined = csr.join(ranks, csr["src"] == ranks["id"]).select(
-            "block", "nbrs", "out_deg", "rank"
-        )
-        partials = joined.groupBy("block").applyInPandas(
-            scatter, schema="id long, contrib double"
-        )
-        contribs = partials.groupBy("id").agg(F.sum("contrib").alias("contrib"))
-        base = (1.0 - damping) / n + damping * dangling / n
-        # carry prev_rank in the state: the L1-delta check is a single
-        # scan of the checkpointed ranks (same fusion as `pagerank`)
-        new_ranks = (
-            ranks.join(contribs, "id", "left")
-            .select(
-                "id",
-                (
-                    F.lit(base)
-                    + F.lit(damping) * F.coalesce("contrib", F.lit(0.0))
-                ).alias("rank"),
-                "has_out",
-                F.col("rank").alias("prev_rank"),
+    with superstep_planning(csr.sparkSession, m4):
+        for it in range(1, max_iter + 1):
+            joined = csr.join(ranks, csr["src"] == ranks["id"]).select(
+                "block", "nbrs", "out_deg", "rank"
             )
-        )
-        ranks, row = ckpt.save_and_agg(
-            new_ranks,
-            it,
-            {"algo": "pagerank_csr"},
-            [
-                F.sum(F.abs(F.col("rank") - F.col("prev_rank"))).alias("delta"),
-                _dangling_agg,
-            ],
-        )
-        delta, dangling = float(row["delta"]), float(row["dangling"])
-        deltas.append(float(delta))
-        ckpt.log(it, {"algo": "pagerank_csr", "delta": float(delta)})
-        if delta < tol:
-            converged = True
-            break
+            partials = joined.groupBy("block").applyInPandas(
+                scatter, schema="id long, contrib double"
+            )
+            contribs = partials.groupBy("id").agg(F.sum("contrib").alias("contrib"))
+            base = (1.0 - damping) / n + damping * dangling / n
+            # carry prev_rank in the state: the L1-delta check is a single
+            # scan of the checkpointed ranks (same fusion as `pagerank`)
+            new_ranks = (
+                ranks.join(contribs, "id", "left")
+                .select(
+                    "id",
+                    (
+                        F.lit(base)
+                        + F.lit(damping) * F.coalesce("contrib", F.lit(0.0))
+                    ).alias("rank"),
+                    "has_out",
+                    F.col("rank").alias("prev_rank"),
+                )
+            )
+            ranks, row = ckpt.save_and_agg(
+                new_ranks,
+                it,
+                {"algo": "pagerank_csr"},
+                [
+                    F.sum(F.abs(F.col("rank") - F.col("prev_rank"))).alias("delta"),
+                    _dangling_agg,
+                ],
+            )
+            delta, dangling = float(row["delta"]), float(row["dangling"])
+            deltas.append(float(delta))
+            ckpt.log(it, {"algo": "pagerank_csr", "delta": float(delta)})
+            if delta < tol:
+                converged = True
+                break
     csr.unpersist()
     return PageRankResult(ranks.select("id", "rank"), it, converged, deltas)
