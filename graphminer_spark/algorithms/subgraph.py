@@ -421,7 +421,22 @@ def match_embeddings(
             else:
                 c = c.localCheckpoint(eager=True)
             cand_tables[pos] = c
-        cand_est = [cand_tables[p].count() for p in range(spec.n)]
+        # ONE action for all position counts (a union-scan of the
+        # just-materialized tables), not one job per position
+        from functools import reduce
+
+        tagged = reduce(
+            lambda a, b: a.unionByName(b),
+            [
+                cand_tables[p].select(F.lit(p).alias("_p"))
+                for p in range(spec.n)
+            ],
+        )
+        got = {
+            r["_p"]: r["n"]
+            for r in tagged.groupBy("_p").agg(F.count("*").alias("n")).collect()
+        }
+        cand_est = [int(got.get(p, 0)) for p in range(spec.n)]
     (a, b), levels = _level_plan(spec, cand_est)
     if _plan_probe is not None:
         _plan_probe["cand_est"] = cand_est
