@@ -268,6 +268,8 @@ def _level_supports(canon: DataFrame) -> DataFrame:
 
 def _mine(sym_edges, labeled_vertices, k, minsup):
     """Shared frontier loop → (supports DF, sid → canon_edges map)."""
+    from graphminer_spark.checkpoint import superstep_planning
+
     spark = sym_edges.sparkSession
     lv = labeled_vertices.select("id", "vlabel")
     lab_sym = (
@@ -278,6 +280,7 @@ def _mine(sym_edges, labeled_vertices, k, minsup):
         )
         .persist()
     )
+    m_edges = lab_sym.count()
     emb = (
         lab_sym.filter(F.col("src") < F.col("dst"))
         .join(
@@ -306,68 +309,69 @@ def _mine(sym_edges, labeled_vertices, k, minsup):
     sid_edges: dict[str, tuple] = {}
     prev = None
     sup = None
-    for level in range(1, k + 1):
-        if level > 1:
-            emb = _extend(emb, lab_sym)
-        emb = emb.localCheckpoint(eager=True)
-        if prev is not None:
-            prev.unpersist()
-        prev = emb
-        ann = _with_quick(emb)
-        # tiny collect: the distinct index-space STRUCTURES (≤ a few
-        # hundred), not the labeled quick codes (can be 10⁵⁺)
-        qkeys = [
-            (r["qkey"], tuple((e["a"], e["b"]) for e in r["qedges"]))
-            for r in ann.select(
-                "qkey",
-                F.array_sort(
-                    F.transform(
-                        "es",
-                        lambda e: F.struct(
-                            (
-                                F.least(
-                                    F.array_position(F.col("vs"), e["u"]),
-                                    F.array_position(F.col("vs"), e["v"]),
+    with superstep_planning(spark, m_edges):
+        for level in range(1, k + 1):
+            if level > 1:
+                emb = _extend(emb, lab_sym)
+            emb = emb.localCheckpoint(eager=True)
+            if prev is not None:
+                prev.unpersist()
+            prev = emb
+            ann = _with_quick(emb)
+            # tiny collect: the distinct index-space STRUCTURES (≤ a few
+            # hundred), not the labeled quick codes (can be 10⁵⁺)
+            qkeys = [
+                (r["qkey"], tuple((e["a"], e["b"]) for e in r["qedges"]))
+                for r in ann.select(
+                    "qkey",
+                    F.array_sort(
+                        F.transform(
+                            "es",
+                            lambda e: F.struct(
+                                (
+                                    F.least(
+                                        F.array_position(F.col("vs"), e["u"]),
+                                        F.array_position(F.col("vs"), e["v"]),
+                                    )
+                                    - 1
                                 )
-                                - 1
-                            )
-                            .cast("int")
-                            .alias("a"),
-                            (
-                                F.greatest(
-                                    F.array_position(F.col("vs"), e["u"]),
-                                    F.array_position(F.col("vs"), e["v"]),
+                                .cast("int")
+                                .alias("a"),
+                                (
+                                    F.greatest(
+                                        F.array_position(F.col("vs"), e["u"]),
+                                        F.array_position(F.col("vs"), e["v"]),
+                                    )
+                                    - 1
                                 )
-                                - 1
-                            )
-                            .cast("int")
-                            .alias("b"),
-                        ),
-                    )
-                ).alias("qedges"),
+                                .cast("int")
+                                .alias("b"),
+                            ),
+                        )
+                    ).alias("qedges"),
+                )
+                .dropDuplicates(["qkey"])
+                .collect()
+            ]
+            srows = []
+            for qkey, qedges in qkeys:
+                n = max(max(e) for e in qedges) + 1
+                cedges, assigns = _structure_canon(qedges, n)
+                sid = repr(cedges)
+                sid_edges[sid] = cedges
+                srows.append((qkey, sid, [list(a) for a in assigns]))
+            smap = spark.createDataFrame(
+                srows, "qkey string, sid string, assigns array<array<int>>"
             )
-            .dropDuplicates(["qkey"])
-            .collect()
-        ]
-        srows = []
-        for qkey, qedges in qkeys:
-            n = max(max(e) for e in qedges) + 1
-            cedges, assigns = _structure_canon(qedges, n)
-            sid = repr(cedges)
-            sid_edges[sid] = cedges
-            srows.append((qkey, sid, [list(a) for a in assigns]))
-        smap = spark.createDataFrame(
-            srows, "qkey string, sid string, assigns array<array<int>>"
-        )
-        canon = _canonical_rows(ann, smap)
-        sup = _level_supports(canon).filter(F.col("support") >= minsup)
-        if level < k:
-            # anti-monotone prune: only embeddings of frequent patterns
-            # stay on the frontier
-            emb = (
-                canon.join(sup.select("code"), "code", "left_semi")
-                .select("es", "vlist")
-            )
+            canon = _canonical_rows(ann, smap)
+            sup = _level_supports(canon).filter(F.col("support") >= minsup)
+            if level < k:
+                # anti-monotone prune: only embeddings of frequent patterns
+                # stay on the frontier
+                emb = (
+                    canon.join(sup.select("code"), "code", "left_semi")
+                    .select("es", "vlist")
+                )
     out = sup.localCheckpoint(eager=True)
     if prev is not None:
         prev.unpersist()
