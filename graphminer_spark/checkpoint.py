@@ -46,7 +46,12 @@ def superstep_planning(spark: SparkSession, n_edges: int):
     the loop and restored after; at web scale (≥ 50M edges) supersteps
     are seconds-to-minutes and AQE stays on — the same
     measure-then-gate treatment as the query pipeline's
-    ``prune="auto"``."""
+    ``prune="auto"``.
+
+    NOTE: mutates session-level SQL conf for the duration (restored in
+    a finally). Algorithms here run one driver loop at a time; a
+    multi-threaded driver sharing one session should serialize
+    iterative jobs or pin AQE explicitly."""
     if n_edges >= SUPERSTEP_AQE_MIN_EDGES:
         yield
         return

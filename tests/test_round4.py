@@ -509,6 +509,38 @@ def test_candidate_refinement_sound_and_effective(spark):
         assert n == 4, f"refine={r}"
 
 
+# ------------------------------------------------- AQE superstep gate
+
+
+def test_superstep_planning_gates_and_restores(spark):
+    from graphminer_spark.checkpoint import (
+        SUPERSTEP_AQE_MIN_EDGES,
+        superstep_planning,
+    )
+
+    key = "spark.sql.adaptive.enabled"
+    spark.conf.set(key, "true")
+    with superstep_planning(spark, 1000):  # small: AQE off inside
+        assert spark.conf.get(key) == "false"
+    assert spark.conf.get(key) == "true"  # restored
+    with superstep_planning(spark, SUPERSTEP_AQE_MIN_EDGES):  # big: no-op
+        assert spark.conf.get(key) == "true"
+    # restored even when the loop raises
+    try:
+        with superstep_planning(spark, 1000):
+            raise RuntimeError("boom")
+    except RuntimeError:
+        pass
+    assert spark.conf.get(key) == "true"
+    # and the iterative algorithms leave the session conf untouched
+    from graphminer_spark.algorithms.pagerank import pagerank
+
+    edges = edges_df(spark, [(0, 1), (1, 2), (2, 0)])
+    verts = spark.createDataFrame([(0,), (1,), (2,)], "id long")
+    pagerank(edges, verts, tol=0.0, max_iter=2)
+    assert spark.conf.get(key) == "true"
+
+
 # ------------------------------------------- vertex feature propagation
 
 
