@@ -1,0 +1,181 @@
+"""2D graph partitioning and block-local triangle counting.
+
+Reference parity: ``include/graph_partition.h:52`` / ``src/common/
+graph_partition.cc:138-226`` — ``partition2D`` assigns every vertex a
+cluster id and routes edge (v, u) to block ``(cid(v), cid(u))`` so each
+of the nc x nc blocks is a self-contained CSR a worker can process
+without touching the rest of the graph. The Spark-native re-expression
+keeps the *blocking idea* (bound each task's working set to a few
+blocks that fit in memory) but drops the hand-rolled scheduler: cluster
+ids are a deterministic hash expression, block routing is a broadcast
+join against a tiny triple map, and the per-block kernel is an
+Arrow-batched ``applyInPandas`` local join.
+
+Distributed triangle counting over the 2D blocks follows the
+triple-partition scheme of Suri & Vassilvitskii, "Counting Triangles
+and the Curse of the Last Reducer" (WWW 2011): with nc vertex clusters,
+spawn one task per cluster triple (i<j<k); an edge whose endpoint
+clusters are {a, b} is replicated to every triple containing both, so
+any triangle's three DAG edges co-locate in every triple that contains
+all three of its endpoint clusters. A triangle with exactly
+
+* 3 distinct endpoint clusters appears in exactly 1 triple,
+* 2 distinct clusters appears in (nc - 2) triples,
+* 1 cluster appears in C(nc-1, 2) triples,
+
+so each kernel tallies triangles into (c1, c2, c3) classes by local
+cluster-id comparison and the driver-side combine divides the c2/c1
+sums by their exact multiplicities — integer-exact, no floating point.
+
+Scale analysis (the reason this path exists): the plain wedge-join TC
+(``triangles.py``) shuffles the wedge stream globally; this path
+replicates edges ~1.5*nc times but bounds EVERY task to O(|E| / nc^2)
+edges processed fully in one executor core's memory — the property the
+reference's 2D partitioner buys its distributed kernels
+(``src/triangle/dist_cpu.cpp``). Pick nc so a block triple fits the
+executor: nc = 32 puts a 10^12-edge graph at ~6 GB/task of raw edges
+with C(32,3) = 4960 independent tasks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+
+def assign_clusters(edges: DataFrame, nc: int) -> DataFrame:
+    """Tag ``edges(src, dst)`` with deterministic endpoint cluster ids
+    ``(c_src, c_dst)`` in ``[0, nc)``.
+
+    xxhash64-based (not modulo-of-id) so consecutive crawl-assigned ids
+    spread across clusters; deterministic so stage retries and
+    resumed runs land identical blocks (reference analogue: the
+    explicit ``cluster_ids`` vector of ``graph_partition.cc:201``).
+    """
+    cid = lambda c: F.pmod(F.xxhash64(c), F.lit(nc)).cast("int")
+    return edges.withColumn("c_src", cid(F.col("src"))).withColumn(
+        "c_dst", cid(F.col("dst"))
+    )
+
+
+def partition_2d(edges: DataFrame, nc: int) -> DataFrame:
+    """The reference's ``partition2D`` view: every edge tagged with its
+    flat block id ``pid = c_src * nc + c_dst`` (``graph_partition.cc:
+    231-239``). Downstream consumers repartition/bucket by ``pid`` to
+    give each worker whole blocks."""
+    return assign_clusters(edges, nc).withColumn(
+        "pid", (F.col("c_src") * nc + F.col("c_dst")).cast("int")
+    )
+
+
+def block_sizes(edges: DataFrame, nc: int) -> DataFrame:
+    """Per-block edge counts ``(c_src, c_dst, n_edges)`` — the
+    ``nes_of_partitions`` audit of ``graph_partition.cc:243-252``,
+    used to check balance before committing to an nc."""
+    return (
+        assign_clusters(edges, nc)
+        .groupBy("c_src", "c_dst")
+        .agg(F.count("*").alias("n_edges"))
+    )
+
+
+def _triples_table(spark: SparkSession, nc: int) -> DataFrame:
+    """Replication map: one row per (unordered endpoint-cluster pair,
+    containing triple). Size < nc^3 rows — driver-built, broadcast."""
+    if nc < 3:
+        raise ValueError(f"2D triangle counting needs nc >= 3, got {nc}")
+    rows = []
+    for t1 in range(nc):
+        for t2 in range(t1 + 1, nc):
+            for t3 in range(t2 + 1, nc):
+                triple = (t1, t2, t3)
+                for a in triple:
+                    for b in triple:
+                        if a <= b:
+                            rows.append((a, b, t1, t2, t3))
+    schema = StructType(
+        [
+            StructField("c_lo", IntegerType()),
+            StructField("c_hi", IntegerType()),
+            StructField("t1", IntegerType()),
+            StructField("t2", IntegerType()),
+            StructField("t3", IntegerType()),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+_BLOCK_COUNTS_SCHEMA = StructType(
+    [
+        StructField("c1", LongType()),
+        StructField("c2", LongType()),
+        StructField("c3", LongType()),
+    ]
+)
+
+
+def _count_block(pdf):
+    """Local kernel for one cluster triple: count DAG triangles among
+    this triple's edges, classed by how many distinct endpoint
+    clusters the triangle touches. Pure pandas/numpy — Arrow-batched,
+    no per-row Python."""
+    import numpy as np
+    import pandas as pd
+
+    e = pdf[["u", "v", "cu", "cv"]]
+    # wedge u->v->w then close u->w: the same two equi-joins as the
+    # global plan, but block-local in one task's memory
+    mid = e.rename(columns={"u": "v", "v": "w", "cu": "cv", "cv": "cw"})
+    wedges = e.merge(mid, on="v", how="inner")
+    closed = wedges.merge(
+        e.rename(columns={"v": "w"})[["u", "w"]], on=["u", "w"], how="inner"
+    )
+    if len(closed) == 0:
+        return pd.DataFrame({"c1": [0], "c2": [0], "c3": [0]})
+    cu = closed["cu"].to_numpy()
+    cv = closed["cv_x"].to_numpy() if "cv_x" in closed else closed["cv"].to_numpy()
+    cw = closed["cw"].to_numpy()
+    pair_eq = (cu == cv).astype(np.int64) + (cv == cw) + (cu == cw)
+    # pair_eq: 0 -> 3 distinct clusters, 1 -> 2 distinct, 3 -> 1
+    c3 = int((pair_eq == 0).sum())
+    c2 = int((pair_eq == 1).sum())
+    c1 = int((pair_eq == 3).sum())
+    return pd.DataFrame({"c1": [c1], "c2": [c2], "c3": [c3]})
+
+
+def triangle_count_2d(dag: DataFrame, nc: int = 4) -> DataFrame:
+    """Exact total triangle count via 2D cluster-triple blocks.
+
+    Same answer as ``triangles.triangle_count`` (agreement-tested);
+    different physical strategy: block-replicate + block-local kernel
+    instead of a global wedge shuffle. One row ``(n_triangles: long)``.
+    """
+    spark = dag.sparkSession
+    tagged = assign_clusters(dag.select("src", "dst"), nc).select(
+        F.col("src").alias("u"),
+        F.col("dst").alias("v"),
+        F.col("c_src").alias("cu"),
+        F.col("c_dst").alias("cv"),
+        F.least("c_src", "c_dst").alias("c_lo"),
+        F.greatest("c_src", "c_dst").alias("c_hi"),
+    )
+    triples = F.broadcast(_triples_table(spark, nc))
+    replicated = tagged.join(triples, ["c_lo", "c_hi"])
+    per_block = replicated.groupBy("t1", "t2", "t3").applyInPandas(
+        _count_block, schema=_BLOCK_COUNTS_SCHEMA
+    )
+    m2 = nc - 2  # triples containing a fixed cluster pair
+    m1 = (nc - 1) * (nc - 2) // 2  # triples containing a fixed cluster
+    # integer `div`: the sums are exactly divisible by construction,
+    # so the combine stays integer-exact at any scale
+    return per_block.agg(
+        F.expr(
+            f"sum(c3) + (sum(c2) div {m2}) + (sum(c1) div {m1})"
+        ).alias("n_triangles")
+    )
