@@ -194,6 +194,16 @@ def main() -> None:
         lambda: triangle_count_sampled(edges).collect(),
         extra=True,
     )
+    from graphminer_spark.graph.partition2d import triangle_count_2d  # noqa: E402
+
+    # 2D block-local path: nc sized so C(nc,3) triples >= cores and a
+    # triple's edges fit one task (nc=4 at this scale makes only 4
+    # fat tasks — measured 10x slower; the knob matters, record it)
+    timed(
+        "tc_total_2d_nc8",
+        lambda: triangle_count_2d(dag, nc=8).collect(),
+        extra=True,
+    )
     srcs = verts.filter(F.col("id") % 50 == 0)
     timed(
         "ppr_5iter",

@@ -312,6 +312,38 @@ def _reduce_semijoin(c: DataFrame, filters: list[DataFrame]) -> DataFrame:
     return c
 
 
+# Named filter strategies, reference parity: the reference exposes six
+# pluggable schemes as a per-query choice (``src/query/filter.h:10-22``
+# GQL/CFL/DPiso/NLF/TSO/CECI, ``filter.cc``). Under a declarative
+# engine they collapse onto two real knobs — whether the NLF/degree
+# candidate stage runs (``prune``) and how many structural
+# consistency rounds refine it (``refine``) — because the schemes'
+# *distinctive machinery* is already supplied by Catalyst:
+#
+# * CECI's candidate-edge index  = the optimizer pushing each
+#   position's candidate semi-join below the extension join, onto the
+#   edge scan itself (PushDownLeftSemiAntiJoin; plan-asserted in
+#   ``tests/test_filter_strategies.py``) — every extension edge is
+#   pre-filtered by BOTH endpoint candidate sets before joining.
+# * TSO's spanning-tree order / GQL's candidate-size order = the
+#   connected-prefix greedy order over post-filter candidate counts
+#   (``_level_plan``): every new position attaches to a matched
+#   neighbor, i.e. the order IS a spanning-tree traversal.
+# * CFL's top-down+bottom-up passes and DPiso's DAG-directed dynamic
+#   refinement = ``refine_candidates`` rounds (each round applies the
+#   neighbor-consistency rule in every direction at once; round count
+#   maps to the schemes' pass count).
+FILTER_STRATEGIES: dict[str, tuple[bool | str, int]] = {
+    "nlf": (True, 0),  # local label/degree/NLF stage only
+    "gql": (True, 1),  # + one global pairwise-consistency pass
+    "tso": (True, 0),  # tree order over filtered candidates
+    "ceci": (True, 1),  # candidate-edge filtering (semi pushdown)
+    "cfl": (True, 2),  # tree-directed passes ≈ 2 all-direction rounds
+    "dpiso": (True, 2),  # DAG-directed DP ≈ 2 all-direction rounds
+    "auto": ("auto", 0),  # cost-gated default (skew-triggered stage)
+}
+
+
 def match_embeddings(
     sym_edges: DataFrame,
     spec: PatternSpec,
@@ -320,6 +352,7 @@ def match_embeddings(
     prune: bool | str = "auto",
     skew_threshold: float = 4.0,
     refine: int = 0,
+    strategy: str | None = None,
     _aux: list | None = None,
     _plan_probe: dict | None = None,
 ) -> DataFrame:
@@ -353,6 +386,13 @@ def match_embeddings(
     frequent label's candidate set below a rare label's, flipping the
     optimal seed.
     """
+    if strategy is not None:
+        if strategy not in FILTER_STRATEGIES:
+            raise ValueError(
+                f"unknown filter strategy {strategy!r}; "
+                f"one of {sorted(FILTER_STRATEGIES)}"
+            )
+        prune, refine = FILTER_STRATEGIES[strategy]
     labeled = spec.vlabels is not None and any(
         l is not None for l in spec.vlabels
     )
@@ -498,6 +538,7 @@ def count_matches(
     alias: str | None = None,
     prune: bool | str = "auto",
     refine: int = 0,
+    strategy: str | None = None,
 ) -> DataFrame:
     """Subgraph count (each unordered embedding once) → single row.
 
@@ -508,7 +549,7 @@ def count_matches(
     aux: list = []
     emb = match_embeddings(
         sym_edges, spec, labeled_vertices, prune=prune, refine=refine,
-        _aux=aux,
+        strategy=strategy, _aux=aux,
     )
     cnt = emb.agg(F.count("*").alias("_o"))
     if spec.lt:
