@@ -344,6 +344,12 @@ FILTER_STRATEGIES: dict[str, tuple[bool | str, int]] = {
 }
 
 
+# module switch for A/B timing of the ≥4-cycle wedge-close rewrite
+# (see the level loop); production default True, benchmarks flip it
+# for honest head-to-heads
+WEDGE_CLOSE = True
+
+
 def match_embeddings(
     sym_edges: DataFrame,
     spec: PatternSpec,
@@ -504,21 +510,73 @@ def match_embeddings(
         if {i, j} == {a, b}:
             emb = emb.filter(F.col(_id_col(i)) < F.col(_id_col(j)))
 
+    seen_probe = False
     for lv in levels:
-        ext = sym.select(
-            F.col("src").alias(_id_col(lv.first)), F.col("dst").alias(_id_col(lv.new))
-        )
-        emb = emb.join(ext, _id_col(lv.first))
-        c = cand_ids(lv.new)
-        if c is not None:
-            emb = emb.join(
-                c.withColumnRenamed("id", _id_col(lv.new)), _id_col(lv.new), "left_semi"
+        # wedge-close: a level with exactly ONE probe closes a cycle
+        # through the new vertex. Extend-then-probe materializes the
+        # Σ_emb deg(first) pre-probe stream and shuffles it again for
+        # the probe join; joining a two-edge wedge (first → new → rest)
+        # on BOTH anchors goes straight to the closed rows. The wedge
+        # stream is Σ deg² rows, so it pays only when the embedding
+        # side is big relative to it — the pure-cycle case, where the
+        # prefix is an unconstrained path. Gates (each measured in one
+        # session, best-of-3 at sf0.1):
+        #  * no candidate filters (filtered embs are already small);
+        #  * first probe of the plan (an earlier probe means a
+        #    selective close has pruned emb — house: 4.35 s old path
+        #    vs 6.77 s forced wedge);
+        #  * chordless ≥4-cycle close (triangle close: the pre-probe
+        #    stream IS the wedge stream, rewrite just re-keys it).
+        # Pentagon (5-cycle): 24.15 s → 4.33 s. lt filters on
+        # (first, new) / (rest, new) and the new position's candidate
+        # semi-join push below the join into the wedge scan (same
+        # PushDownLeftSemiAntiJoin behavior the CECI test asserts).
+        if (
+            WEDGE_CLOSE
+            and len(lv.rest) == 1
+            and not seen_probe
+            and not use_filters
+            and lv.rest[0] not in spec.adj()[lv.first]
+        ):
+            u = lv.rest[0]
+            wedge = sym.select(
+                F.col("src").alias(_id_col(lv.first)),
+                F.col("dst").alias(_id_col(lv.new)),
+            ).join(
+                sym.select(
+                    F.col("src").alias(_id_col(lv.new)),
+                    F.col("dst").alias(_id_col(u)),
+                ),
+                _id_col(lv.new),
             )
-        for u in lv.rest:  # edge-existence probes: unique (src,dst) rows
-            probe = sym.select(
-                F.col("src").alias(_id_col(u)), F.col("dst").alias(_id_col(lv.new))
+            c = cand_ids(lv.new)
+            if c is not None:
+                wedge = wedge.join(
+                    c.withColumnRenamed("id", _id_col(lv.new)),
+                    _id_col(lv.new),
+                    "left_semi",
+                )
+            emb = emb.join(wedge, [_id_col(lv.first), _id_col(u)])
+        else:
+            ext = sym.select(
+                F.col("src").alias(_id_col(lv.first)),
+                F.col("dst").alias(_id_col(lv.new)),
             )
-            emb = emb.join(probe, [_id_col(u), _id_col(lv.new)])
+            emb = emb.join(ext, _id_col(lv.first))
+            c = cand_ids(lv.new)
+            if c is not None:
+                emb = emb.join(
+                    c.withColumnRenamed("id", _id_col(lv.new)),
+                    _id_col(lv.new),
+                    "left_semi",
+                )
+            for u in lv.rest:  # edge-existence probes: unique (src,dst) rows
+                probe = sym.select(
+                    F.col("src").alias(_id_col(u)), F.col("dst").alias(_id_col(lv.new))
+                )
+                emb = emb.join(probe, [_id_col(u), _id_col(lv.new)])
+        if lv.rest:
+            seen_probe = True
         for i, j in lv.lt_pairs:
             emb = emb.filter(F.col(_id_col(i)) < F.col(_id_col(j)))
         for u in lv.ne_others:

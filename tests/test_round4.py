@@ -664,3 +664,31 @@ def test_dedup_operators_release_persisted_tables(spark):
     # simhash persists must be gone — they'd double the delta
     leaked = after - before
     assert len(leaked) <= 2, f"internal persisted tables leaked: {leaked}"
+
+
+# ---------------------------------------- wedge-close cycle rewrite
+
+
+def test_wedge_close_agrees_with_extend_probe(spark):
+    """The >=4-cycle wedge-close rewrite (subgraph.py level loop) must
+    count exactly what the extend-then-probe path counts, on a random
+    graph dense enough that pentagons/houses/4-cycles all appear."""
+    import graphminer_spark.algorithms.subgraph as sg
+    from graphminer_spark.algorithms.subgraph import SGL_PATTERNS, count_matches
+
+    sym = symmetrize(edges_df(spark, _random_graph(60, 500, seed=11)))
+    sym = sym.persist()
+    sym.count()
+    try:
+        for name in ("pentagon", "house", "rectangle", "hexagon"):
+            if name not in SGL_PATTERNS:
+                continue
+            spec = SGL_PATTERNS[name]
+            sg.WEDGE_CLOSE = True
+            a = count_matches(sym, spec).collect()[0][0]
+            sg.WEDGE_CLOSE = False
+            b = count_matches(sym, spec).collect()[0][0]
+            assert a == b, (name, a, b)
+    finally:
+        sg.WEDGE_CLOSE = True
+        sym.unpersist()
