@@ -691,6 +691,15 @@ def _q_tc_approx(spark, sf_dir):
     return triangle_count_sampled(tpch_edges(spark, sf_dir))
 
 
+def _q_path4_colorful(spark, sf_dir):
+    # color-coding (FASCIA/Motivo) simple-4-path estimate on the
+    # sparse scrambled graph (path enumeration scales with deg^(k-1))
+    from graphminer_spark.algorithms.approx import colorful_path_count
+
+    edges = tpch_edges(spark, sf_dir, divisor=6, scramble=True)
+    return colorful_path_count(symmetrize(edges, dedup=False), k=4)
+
+
 def _q_tc_2d(spark, sf_dir):
     # 2D cluster-triple blocks (graph_partition.cc:138-226 analogue);
     # exact, agreement-tested against tc_total's wedge-join plan
@@ -857,6 +866,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "olap_revenue_rollup": _q_rollup,
         # ---------------- past the 50-entry driver cap ----------------
         "tc_approx": _q_tc_approx,
+        "path4_colorful": _q_path4_colorful,
         "graph_degree_hist": _q_degree_hist,
         "graph_nlf": _q_nlf,
         "wpr_5iter": _q_wpr5,
@@ -888,6 +898,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "olap_top_parts": _q_top_parts,
         "olap_status_pivot": _q_pivot,
     }
+
+
+def _path4_colorful_sql() -> str:
+    from graphminer_spark.algorithms.approx import colorful_path_sql
+
+    return graph_query(colorful_path_sql(4), divisor=6, scramble=True)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -935,6 +951,7 @@ def oracle_sql() -> dict[str, str]:
               ON s3.src = s1.dst AND s3.dst = s2.dst
             """
         ),
+        "path4_colorful": _path4_colorful_sql(),
         "temporal_tri_count": temporal_tri_sql(TEMPORAL_DELTA),
         "dyn_tri_delta": graph_query(
             """

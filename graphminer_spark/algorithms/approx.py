@@ -1,0 +1,118 @@
+"""Color-coding approximate pattern counting (FASCIA / Motivo family).
+
+Reference analogue: the approximate-mining workload family the
+reference collects under ``/root/reference/src/approx/README.md``
+(FASCIA, ICPP'13; Motivo, VLDB'19; both build on Alon–Yuster–Zwick
+color coding). DOULION edge sampling already covers approximate
+*triangle* counting (``triangles.triangle_count_sampled``); color
+coding covers the larger acyclic patterns — here simple k-vertex
+paths — where edge sampling's p^|E(pattern)| variance blows up.
+
+Estimator: assign each vertex one of ``k`` colors; count only
+*colorful* embeddings (all k vertices distinctly colored); scale by
+``k^k / k!`` — the inverse probability that a fixed simple k-path is
+colorful under a uniform coloring. Colorfulness buys two things at
+100 TB scale:
+
+* the O(k²) pairwise ``!=`` vertex-distinctness filters vanish — a
+  colorful walk cannot revisit a vertex, and the color inequality is
+  a one-int compare pushed below each join instead of a k-column one;
+* each join level is pre-pruned by the color constraint (only
+  ~(k-i)/k of extensions survive level i), so the intermediate
+  embedding stream shrinks geometrically vs exact enumeration.
+
+The color is a deterministic md5-derived expression on the vertex id
+— NOT an RNG — for the same two reasons the DOULION sampler is
+hash-based (``triangles.py:48-65``): stage retries on a resumable
+100 TB run must re-derive identical colors, and the exact same
+estimator must be expressible in ANSI SQL for the DuckDB cross-engine
+oracle. (A production run wanting tighter error just unions R
+re-colorings with a salt in the hash and averages — same plan, R×
+the work, 1/R the variance.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from graphminer_spark.algorithms.subgraph import _id_col
+
+# ``k^k / k!`` scale factors (numerator, denominator) per color count
+_SCALE = {3: (27, 6), 4: (256, 24), 5: (3125, 120)}
+
+
+def vertex_color(id_col: Column, n_colors: int) -> Column:
+    """Deterministic pseudo-random color in ``[0, n_colors)`` from the
+    first hex digit of ``md5(id)``. ``n_colors`` must divide 16 so the
+    16 hex values spread evenly (no modulo bias)."""
+    if 16 % n_colors:
+        raise ValueError(f"n_colors must divide 16, got {n_colors}")
+    digit = F.conv(F.substring(F.md5(id_col.cast("string")), 1, 1), 16, 10)
+    return (digit.cast("int") % n_colors).alias("color")
+
+
+def colorful_path_count(sym_edges: DataFrame, k: int = 4) -> DataFrame:
+    """Approximate count of simple k-vertex paths (each unordered path
+    once) by color coding. Output: one row
+    ``(colorful_paths: long, est_paths: long)`` where ``est_paths =
+    colorful_paths * k^k // k!``.
+
+    The plan is the same chained-equi-join level growth as the exact
+    pattern kernels (``subgraph.match_embeddings``), with the pairwise
+    color-``!=`` predicates applied as soon as both endpoints are
+    bound — Catalyst evaluates them inside the join stage, before the
+    next shuffle, so each level's output stream is pruned ~(k-i)/k
+    before it moves.
+    """
+    if k not in _SCALE:
+        raise ValueError(f"k must be one of {sorted(_SCALE)}, got {k}")
+    sym = sym_edges.select(
+        F.col("src").alias(_id_col(0)), F.col("dst").alias(_id_col(1))
+    )
+    emb = sym
+    for lv in range(2, k):
+        ext = sym_edges.select(
+            F.col("src").alias(_id_col(lv - 1)), F.col("dst").alias(_id_col(lv))
+        )
+        emb = emb.join(ext, _id_col(lv - 1))
+        for prev in range(lv):
+            emb = emb.filter(
+                vertex_color(F.col(_id_col(prev)), k)
+                != vertex_color(F.col(_id_col(lv)), k)
+            )
+    # seed-edge color constraint + one-row-per-unordered-path
+    emb = emb.filter(
+        vertex_color(F.col(_id_col(0)), k) != vertex_color(F.col(_id_col(1)), k)
+    ).filter(F.col(_id_col(0)) < F.col(_id_col(k - 1)))
+    num, den = _SCALE[k]
+    return emb.agg(
+        F.count(F.lit(1)).alias("colorful_paths"),
+        F.expr(f"count(1) * {num} div {den}").alias("est_paths"),
+    )
+
+
+def colorful_path_sql(k: int = 4) -> str:
+    """DuckDB body (over the shared ``sym`` CTE) computing exactly
+    :func:`colorful_path_count` — same md5 colors, same integer
+    scale arithmetic."""
+    num, den = _SCALE[k]
+
+    def color(v: str) -> str:
+        return f"(('0x' || substr(md5({v}::VARCHAR), 1, 1))::INTEGER % {k})"
+
+    joins, preds = [], []
+    for lv in range(2, k):
+        joins.append(f"JOIN sym e{lv} ON e{lv}.src = e{lv - 1}.dst")
+    cols = {0: "e1.src", 1: "e1.dst"}
+    for lv in range(2, k):
+        cols[lv] = f"e{lv}.dst"
+    for i in range(k):
+        for j in range(i + 1, k):
+            preds.append(f"{color(cols[i])} != {color(cols[j])}")
+    preds.append(f"e1.src < {cols[k - 1]}")
+    return (
+        f"SELECT count(*) AS colorful_paths, "
+        f"count(*) * {num} // {den} AS est_paths "
+        f"FROM sym e1 {' '.join(joins)} WHERE {' AND '.join(preds)}"
+    )

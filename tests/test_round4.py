@@ -692,3 +692,66 @@ def test_wedge_close_agrees_with_extend_probe(spark):
     finally:
         sg.WEDGE_CLOSE = True
         sym.unpersist()
+
+
+# ---------------------------------------- color-coding approx paths
+
+
+def test_colorful_path_count_matches_brute_force(spark):
+    """Colorful 4-path count vs a literal python brute force using the
+    SAME md5-derived colors; the estimate column must be exactly
+    colorful * 256 // 24 (FASCIA/Motivo scale k^k/k!)."""
+    import hashlib
+
+    from graphminer_spark.algorithms.approx import colorful_path_count
+
+    edges = _random_graph(30, 90, seed=7)
+    canon = sorted({(min(a, b), max(a, b)) for a, b in edges if a != b})
+    adj = {}
+    for a, b in canon:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+
+    def color(v):
+        return int(hashlib.md5(str(v).encode()).hexdigest()[0], 16) % 4
+
+    want = 0
+    for v1 in adj:
+        for v2 in adj[v1]:
+            for v3 in adj[v2]:
+                if v3 == v1:
+                    continue
+                for v4 in adj[v3]:
+                    if v4 in (v1, v2) or not v1 < v4:
+                        continue
+                    if len({color(x) for x in (v1, v2, v3, v4)}) == 4:
+                        want += 1
+
+    sym = symmetrize(edges_df(spark, edges))
+    row = colorful_path_count(sym, k=4).collect()[0]
+    assert row["colorful_paths"] == want
+    assert row["est_paths"] == want * 256 // 24
+
+    # estimator sanity on this fixture: within 2x of the exact count
+    exact = 0
+    for v1 in adj:
+        for v2 in adj[v1]:
+            for v3 in adj[v2]:
+                if v3 == v1:
+                    continue
+                for v4 in adj[v3]:
+                    if v4 in (v1, v2) or not v1 < v4:
+                        continue
+                    exact += 1
+    assert exact / 2 <= row["est_paths"] <= exact * 2
+
+
+def test_colorful_path_rejects_bad_k(spark):
+    from graphminer_spark.algorithms.approx import colorful_path_count, vertex_color
+    from pyspark.sql import functions as F
+
+    sym = symmetrize(edges_df(spark, [(0, 1)]))
+    with pytest.raises(ValueError):
+        colorful_path_count(sym, k=6)
+    with pytest.raises(ValueError):
+        vertex_color(F.col("id"), 5)
