@@ -71,6 +71,17 @@ def core_numbers_hindex(
     adjacency is ever materialized per row, and the number of rounds
     is bounded by the value-decrease chain, not by max-coreness many
     full peels.
+
+    A changed-neighbor frontier (Lu et al.'s locality optimization —
+    recompute only vertices adjacent to a changed one) was built and
+    measured, and REJECTED: in Spark the frontier restriction is a
+    semi-join that itself shuffles the full edge table, so it adds a
+    round-trip instead of saving the scan. Best-of-N A/B: 24.5 s full
+    recompute vs 35.8 s frontier at 600k edges; 93 s vs 230 s at 48M
+    edges (BENCH/BASELINE.md "negative results"). A frontier only
+    pays here with a map-side (broadcast) probe, whose size no gate
+    can bound ahead of time — changed counts stay 1-27% of |V| for
+    most of the 15-round trajectory measured at sf0.1.
     """
     ckpt = checkpointer or CheckpointManager(None)
     from pyspark.sql import Window
