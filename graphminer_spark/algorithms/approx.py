@@ -44,12 +44,12 @@ _SCALE = {3: (27, 6), 4: (256, 24), 5: (3125, 120)}
 
 def vertex_color(id_col: Column, n_colors: int) -> Column:
     """Deterministic pseudo-random color in ``[0, n_colors)`` from the
-    first hex digit of ``md5(id)``. ``n_colors`` must divide 16 so the
-    16 hex values spread evenly (no modulo bias)."""
-    if 16 % n_colors:
-        raise ValueError(f"n_colors must divide 16, got {n_colors}")
-    digit = F.conv(F.substring(F.md5(id_col.cast("string")), 1, 1), 16, 10)
-    return (digit.cast("int") % n_colors).alias("color")
+    first 8 hex digits (32 bits) of ``md5(id)`` — wide enough that the
+    modulo bias is ≤ k/2³² for any small ``n_colors``."""
+    if n_colors < 2:
+        raise ValueError(f"n_colors must be >= 2, got {n_colors}")
+    word = F.conv(F.substring(F.md5(id_col.cast("string")), 1, 8), 16, 10)
+    return (word.cast("bigint") % n_colors).alias("color")
 
 
 def colorful_path_count(sym_edges: DataFrame, k: int = 4) -> DataFrame:
@@ -99,7 +99,7 @@ def colorful_path_sql(k: int = 4) -> str:
     num, den = _SCALE[k]
 
     def color(v: str) -> str:
-        return f"(('0x' || substr(md5({v}::VARCHAR), 1, 1))::INTEGER % {k})"
+        return f"(('0x' || substr(md5({v}::VARCHAR), 1, 8))::BIGINT % {k})"
 
     joins, preds = [], []
     for lv in range(2, k):

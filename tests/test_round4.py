@@ -697,11 +697,13 @@ def test_wedge_close_agrees_with_extend_probe(spark):
 # ---------------------------------------- color-coding approx paths
 
 
-def test_colorful_path_count_matches_brute_force(spark):
-    """Colorful 4-path count vs a literal python brute force using the
+@pytest.mark.parametrize("k", [3, 4, 5])
+def test_colorful_path_count_matches_brute_force(spark, k):
+    """Colorful k-path count vs a literal python brute force using the
     SAME md5-derived colors; the estimate column must be exactly
-    colorful * 256 // 24 (FASCIA/Motivo scale k^k/k!)."""
+    colorful * k^k // k! (FASCIA/Motivo scale)."""
     import hashlib
+    import math
 
     from graphminer_spark.algorithms.approx import colorful_path_count
 
@@ -713,36 +715,33 @@ def test_colorful_path_count_matches_brute_force(spark):
         adj.setdefault(b, set()).add(a)
 
     def color(v):
-        return int(hashlib.md5(str(v).encode()).hexdigest()[0], 16) % 4
+        return int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16) % k
 
-    want = 0
-    for v1 in adj:
-        for v2 in adj[v1]:
-            for v3 in adj[v2]:
-                if v3 == v1:
-                    continue
-                for v4 in adj[v3]:
-                    if v4 in (v1, v2) or not v1 < v4:
-                        continue
-                    if len({color(x) for x in (v1, v2, v3, v4)}) == 4:
-                        want += 1
+    def paths(colorful_only):
+        cnt = 0
+        stack = [(v,) for v in adj]
+        while stack:
+            walk = stack.pop()
+            if len(walk) == k:
+                if walk[0] < walk[-1] and (
+                    not colorful_only
+                    or len({color(x) for x in walk}) == k
+                ):
+                    cnt += 1
+                continue
+            for nxt in adj[walk[-1]]:
+                if nxt not in walk:
+                    stack.append(walk + (nxt,))
+        return cnt
 
+    want = paths(colorful_only=True)
     sym = symmetrize(edges_df(spark, edges))
-    row = colorful_path_count(sym, k=4).collect()[0]
+    row = colorful_path_count(sym, k=k).collect()[0]
     assert row["colorful_paths"] == want
-    assert row["est_paths"] == want * 256 // 24
+    assert row["est_paths"] == want * k**k // math.factorial(k)
 
     # estimator sanity on this fixture: within 2x of the exact count
-    exact = 0
-    for v1 in adj:
-        for v2 in adj[v1]:
-            for v3 in adj[v2]:
-                if v3 == v1:
-                    continue
-                for v4 in adj[v3]:
-                    if v4 in (v1, v2) or not v1 < v4:
-                        continue
-                    exact += 1
+    exact = paths(colorful_only=False)
     assert exact / 2 <= row["est_paths"] <= exact * 2
 
 
@@ -754,4 +753,4 @@ def test_colorful_path_rejects_bad_k(spark):
     with pytest.raises(ValueError):
         colorful_path_count(sym, k=6)
     with pytest.raises(ValueError):
-        vertex_color(F.col("id"), 5)
+        vertex_color(F.col("id"), 1)
