@@ -194,6 +194,20 @@ def main() -> None:
         lambda: triangle_count_sampled(edges).collect(),
         extra=True,
     )
+    from graphminer_spark.algorithms.approx import colorful_path_count  # noqa: E402
+
+    # color-coding 4-path estimate (approx family) on the scrambled
+    # extra-sparse graph — path enumeration scales with deg^(k-1), the
+    # same density choice as the 5/6-path SgL rows
+    xsparse_sym = symmetrize(
+        tpch_edges(spark, sf_dir, divisor=1, scramble=True, sample_mod=2),
+        dedup=False,
+    )
+    timed(
+        "path4_colorful_xsparse",
+        lambda: colorful_path_count(xsparse_sym, k=4).collect(),
+        extra=True,
+    )
     from graphminer_spark.graph.partition2d import triangle_count_2d  # noqa: E402
 
     # 2D block-local path: nc sized so C(nc,3) triples >= cores and a
