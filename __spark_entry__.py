@@ -700,6 +700,17 @@ def _q_path4_colorful(spark, sf_dir):
     return colorful_path_count(symmetrize(edges, dedup=False), k=4)
 
 
+def _q_path4_colorful_dp(spark, sf_dir):
+    # the FASCIA color-set DP form of the same estimate — state
+    # bounded by |V|*2^k, so it runs on the DENSE graph where the
+    # enumeration path blows up (same count, different plan)
+    from graphminer_spark.algorithms.approx import colorful_path_count_dp
+
+    return colorful_path_count_dp(
+        symmetrize(tpch_edges(spark, sf_dir), dedup=False), k=4
+    )
+
+
 def _q_tc_2d(spark, sf_dir):
     # 2D cluster-triple blocks (graph_partition.cc:138-226 analogue);
     # exact, agreement-tested against tc_total's wedge-join plan
@@ -867,6 +878,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---------------- past the 50-entry driver cap ----------------
         "tc_approx": _q_tc_approx,
         "path4_colorful": _q_path4_colorful,
+        "path4_colorful_dp": _q_path4_colorful_dp,
         "graph_degree_hist": _q_degree_hist,
         "graph_nlf": _q_nlf,
         "wpr_5iter": _q_wpr5,
@@ -904,6 +916,12 @@ def _path4_colorful_sql() -> str:
     from graphminer_spark.algorithms.approx import colorful_path_sql
 
     return graph_query(colorful_path_sql(4), divisor=6, scramble=True)
+
+
+def _path4_colorful_dp_sql() -> str:
+    from graphminer_spark.algorithms.approx import colorful_path_dp_sql
+
+    return graph_query(colorful_path_dp_sql(4))
 
 
 def oracle_sql() -> dict[str, str]:
@@ -952,6 +970,7 @@ def oracle_sql() -> dict[str, str]:
             """
         ),
         "path4_colorful": _path4_colorful_sql(),
+        "path4_colorful_dp": _path4_colorful_dp_sql(),
         "temporal_tri_count": temporal_tri_sql(TEMPORAL_DELTA),
         "dyn_tri_delta": graph_query(
             """

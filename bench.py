@@ -208,6 +208,18 @@ def main() -> None:
         lambda: colorful_path_count(xsparse_sym, k=4).collect(),
         extra=True,
     )
+    from graphminer_spark.algorithms.approx import (  # noqa: E402
+        colorful_path_count_dp,
+    )
+
+    # FASCIA color-set DP on the DENSE sparse-divisor graph — the
+    # |V|*2^k-bounded plan (walk enumeration takes ~90 s here; the DP
+    # aggregates the same 28.4M-path count in ~5 s, BENCH/BASELINE.md)
+    timed(
+        "path4_colorful_dp_dense",
+        lambda: colorful_path_count_dp(sparse_sym, k=4).collect(),
+        extra=True,
+    )
     from graphminer_spark.graph.partition2d import triangle_count_2d  # noqa: E402
 
     # 2D block-local path: nc sized so C(nc,3) triples >= cores and a

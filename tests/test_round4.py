@@ -754,3 +754,25 @@ def test_colorful_path_rejects_bad_k(spark):
         colorful_path_count(sym, k=6)
     with pytest.raises(ValueError):
         vertex_color(F.col("id"), 1)
+
+
+def test_colorful_dp_agrees_with_enumeration(spark):
+    """The FASCIA color-set DP and the walk enumeration are two
+    independent implementations of the colorful path count — they
+    must agree exactly, per k."""
+    from graphminer_spark.algorithms.approx import (
+        colorful_path_count,
+        colorful_path_count_dp,
+    )
+
+    sym = symmetrize(edges_df(spark, _random_graph(40, 140, seed=3)))
+    sym = sym.persist()
+    sym.count()
+    try:
+        for k in (3, 4, 5):
+            a = colorful_path_count(sym, k=k).collect()[0]
+            b = colorful_path_count_dp(sym, k=k).collect()[0]
+            assert a["colorful_paths"] == b["colorful_paths"], (k, a, b)
+            assert a["est_paths"] == b["est_paths"], (k, a, b)
+    finally:
+        sym.unpersist()
