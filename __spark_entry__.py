@@ -839,9 +839,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_assortativity": _q_assortativity,
         "temporal_tri_count": _q_temporal_tri,
         "dyn_tri_delta": _q_dyn_tri,
-        # --- patterns / motifs / cliques (rotated: 4/8 ← 6/7) ---
+        # --- patterns / motifs / cliques (rotated: 4 ← 6/7; 8 now
+        # past-cap so the approx family regains a driver slot) ---
         "clique4_total": _q_clique4,
-        "clique8_total": _q_clique8,
+        # --- approx family driver slot: the FASCIA color-set DP ---
+        "path4_colorful_dp": _q_path4_colorful_dp,
         "motif4_counts": _q_motif4,
         "motif5_counts": _q_motif5,
         "pattern_counts": _q_patterns,
@@ -878,7 +880,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---------------- past the 50-entry driver cap ----------------
         "tc_approx": _q_tc_approx,
         "path4_colorful": _q_path4_colorful,
-        "path4_colorful_dp": _q_path4_colorful_dp,
+        "clique8_total": _q_clique8,
         "graph_degree_hist": _q_degree_hist,
         "graph_nlf": _q_nlf,
         "wpr_5iter": _q_wpr5,
