@@ -119,29 +119,31 @@ def colorful_path_count_dp(sym_edges: DataFrame, k: int = 4) -> DataFrame:
     """
     if k not in _SCALE:
         raise ValueError(f"k must be one of {sorted(_SCALE)}, got {k}")
-    # round 1: every vertex is a 1-walk with its own color bit
-    # (shiftleft needs a SQL expression — the python API only takes a
-    # literal shift amount)
-    state = (
-        sym_edges.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("c", vertex_color(F.col("id"), k))
-        .select(
-            "id",
-            F.expr("shiftleft(1, cast(c as int))").alias("s"),
-            F.lit(1).cast("long").alias("cnt"),
+    # shiftleft needs a SQL expression — the python API only takes a
+    # literal shift amount
+    def bit_expr(col: str) -> Column:
+        return F.expr(
+            "shiftleft(1, cast("
+            f"cast(conv(substring(md5(cast({col} as string)), 1, 8), 16, 10)"
+            f" as bigint) % {k} as int))"
         )
+
+    # seed at i=2 straight from the edge table — W_2(v, {c(u),c(v)})
+    # is one groupBy over differently-colored edges, folding what
+    # would otherwise be a distinct-vertices shuffle plus a first
+    # join round into a single aggregation
+    sb, db = bit_expr("src"), bit_expr("dst")
+    state = (
+        sym_edges.filter(sb != db)
+        .groupBy(F.col("dst").alias("id"), sb.bitwiseOR(db).alias("s"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )
-    for _ in range(k - 1):
+    for _ in range(k - 2):
         state = (
             state.join(
                 sym_edges.select(F.col("src").alias("id"), "dst"), "id"
             )
-            .withColumn("vb", F.expr(
-                "shiftleft(1, cast("
-                "cast(conv(substring(md5(cast(dst as string)), 1, 8), 16, 10)"
-                f" as bigint) % {k} as int))"
-            ))
+            .withColumn("vb", bit_expr("dst"))
             .filter(F.col("s").bitwiseAND(F.col("vb")) == 0)
             .groupBy(
                 F.col("dst").alias("id"),
