@@ -104,8 +104,10 @@ def colorful_path_count_dp(sym_edges: DataFrame, k: int = 4) -> DataFrame:
 
         ``W_i(v, S∪{c(v)}) += Σ_{u~v, c(v)∉S} W_{i-1}(u, S)``
 
-    Each of the k-1 rounds is one equi-join with the edge table plus
-    one ``groupBy(id, S)`` re-aggregation — the state never exceeds
+    The i=2 level seeds directly from the edge table (one groupBy
+    over differently-colored edges); each of the k-2 remaining rounds
+    is one equi-join with the edge table plus one ``groupBy(id, S)``
+    re-aggregation — the state never exceeds
     ``|V|·2^k`` rows, vs the enumeration's Σ-walks intermediate
     stream. That makes this the SCALE path: at sf0.1 on the dense
     divisor-6 graph the enumeration takes ~90 s (28.4M colorful
