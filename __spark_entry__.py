@@ -700,6 +700,24 @@ def _q_path4_colorful(spark, sf_dir):
     return colorful_path_count(symmetrize(edges, dedup=False), k=4)
 
 
+CHAIR_TREE = ((0, 1), (1, 2), (2, 3), (1, 4))  # 4-path + pendant, |Aut|=2
+
+
+def _q_tree_chair_colorful(spark, sf_dir):
+    # FASCIA rooted-tree color-set DP on an asymmetric 5-vertex tree
+    from graphminer_spark.algorithms.approx import colorful_tree_count
+
+    return colorful_tree_count(
+        symmetrize(tpch_edges(spark, sf_dir), dedup=False), CHAIR_TREE
+    )
+
+
+def _tree_chair_colorful_sql() -> str:
+    from graphminer_spark.algorithms.approx import colorful_tree_sql
+
+    return graph_query(colorful_tree_sql(CHAIR_TREE))
+
+
 def _q_path4_colorful_dp(spark, sf_dir):
     # the FASCIA color-set DP form of the same estimate — state
     # bounded by |V|*2^k, so it runs on the DENSE graph where the
@@ -880,6 +898,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---------------- past the 50-entry driver cap ----------------
         "tc_approx": _q_tc_approx,
         "path4_colorful": _q_path4_colorful,
+        "tree_chair_colorful": _q_tree_chair_colorful,
         "clique8_total": _q_clique8,
         "graph_degree_hist": _q_degree_hist,
         "graph_nlf": _q_nlf,
@@ -973,6 +992,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "path4_colorful": _path4_colorful_sql(),
         "path4_colorful_dp": _path4_colorful_dp_sql(),
+        "tree_chair_colorful": _tree_chair_colorful_sql(),
         "temporal_tri_count": temporal_tri_sql(TEMPORAL_DELTA),
         "dyn_tri_delta": graph_query(
             """

@@ -224,6 +224,153 @@ def colorful_path_dp_sql(k: int = 4) -> str:
     )
 
 
+def _rooted_tree(tree_edges: tuple) -> tuple[int, dict[int, list[int]]]:
+    """Root the tree at vertex 0; return (k, children-map) in BFS
+    order. Raises if the edge set is not a tree on 0..k-1."""
+    nodes = sorted({v for e in tree_edges for v in e})
+    key = len(nodes)
+    if nodes != list(range(key)) or len(tree_edges) != key - 1:
+        raise ValueError(f"not a tree on 0..k-1: {tree_edges}")
+    adj: dict[int, list[int]] = {v: [] for v in nodes}
+    for a, b in tree_edges:
+        adj[a].append(b)
+        adj[b].append(a)
+    children: dict[int, list[int]] = {v: [] for v in nodes}
+    seen, order = {0}, [0]
+    for v in order:
+        for u in adj[v]:
+            if u not in seen:
+                seen.add(u)
+                children[v].append(u)
+                order.append(u)
+    if len(seen) != key:
+        raise ValueError(f"tree not connected: {tree_edges}")
+    return key, children
+
+
+def tree_automorphisms(tree_edges: tuple) -> int:
+    """|Aut(T)| by brute force over vertex permutations (k ≤ 7)."""
+    import itertools
+
+    nodes = sorted({v for e in tree_edges for v in e})
+    es = {frozenset(e) for e in tree_edges}
+    return sum(
+        1
+        for p in itertools.permutations(nodes)
+        if all(frozenset((p[a], p[b])) in es for a, b in tree_edges)
+    )
+
+
+def colorful_tree_count(sym_edges: DataFrame, tree_edges: tuple) -> DataFrame:
+    """Approximate count of embeddings of an arbitrary k-vertex TREE
+    pattern (each unordered copy once) by FASCIA's rooted-subtree
+    color-set DP — the general form of :func:`colorful_path_count_dp`.
+    Output: one row ``(colorful_trees, est_trees)``.
+
+    Bottom-up over the tree rooted at 0: node t's state
+    ``D_t(v, S)`` counts colorful maps of t's subtree with t ↦ v
+    using exactly color set ``S``. A child's state lifts to the
+    parent through one edge join; siblings combine by SUBSET
+    CONVOLUTION (join on the vertex, color sets disjoint) — the
+    categorical k≤5 state keeps every intermediate ≤ |V|·2^k rows.
+    The root total counts tree→graph maps; dividing by |Aut(T)|
+    (exact — colorful copies each produce |Aut| maps) yields copies,
+    scaled k^k/k! like every color-coding estimate.
+    """
+    k, children = _rooted_tree(tree_edges)
+    if k not in _SCALE:
+        raise ValueError(f"tree must have 3..5 vertices, got {k}")
+
+    def bit_expr(col: str) -> Column:
+        return F.expr(
+            "shiftleft(1, cast("
+            f"cast(conv(substring(md5(cast({col} as string)), 1, 8), 16, 10)"
+            f" as bigint) % {k} as int))"
+        )
+
+    verts = (
+        sym_edges.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", bit_expr("id").alias("s"), F.lit(1).cast("long").alias("cnt"))
+        .persist()
+    )
+    edges = sym_edges.select("src", "dst")
+
+    def node_state(t: int) -> DataFrame:
+        acc = verts  # t's own color bit, count 1
+        for ch in children[t]:
+            # lift the child's subtree through the (child → t) edge
+            lifted = (
+                node_state(ch)
+                .join(edges.withColumnRenamed("src", "id"), "id")
+                .groupBy(F.col("dst").alias("id"), "s")
+                .agg(F.sum("cnt").alias("cnt"))
+                .withColumnRenamed("s", "cs")
+                .withColumnRenamed("cnt", "ccnt")
+            )
+            # subset convolution: disjoint color sets at the same vertex
+            acc = (
+                acc.join(lifted, "id")
+                .filter(F.col("s").bitwiseAND(F.col("cs")) == 0)
+                .groupBy("id", F.col("s").bitwiseOR(F.col("cs")).alias("s"))
+                .agg(F.sum(F.col("cnt") * F.col("ccnt")).alias("cnt"))
+            )
+        return acc
+
+    num, den = _SCALE[k]
+    aut = tree_automorphisms(tree_edges)
+    out = node_state(0).agg(
+        F.expr(f"sum(cnt) div {aut}").alias("colorful_trees"),
+        F.expr(f"sum(cnt) div {aut} * {num} div {den}").alias("est_trees"),
+    )
+    out = out.localCheckpoint(eager=True)
+    verts.unpersist()
+    return out
+
+
+def colorful_tree_sql(tree_edges: tuple) -> str:
+    """DuckDB body (over the shared ``sym`` CTE) computing exactly
+    :func:`colorful_tree_count` — the same rooted-subtree DP unrolled
+    into one nested integer/bitmask SQL expression per node."""
+    k, children = _rooted_tree(tree_edges)
+    num, den = _SCALE[k]
+    aut = tree_automorphisms(tree_edges)
+
+    def color_bit(v: str) -> str:
+        return (
+            f"(1 << (('0x' || substr(md5({v}::VARCHAR), 1, 8))::BIGINT"
+            f" % {k}))::BIGINT"
+        )
+
+    verts_sql = (
+        "SELECT id, "
+        f"{color_bit('id')} AS s, 1::BIGINT AS cnt "
+        "FROM (SELECT DISTINCT src AS id FROM sym)"
+    )
+
+    def node_sql(t: int) -> str:
+        acc = verts_sql
+        for ch in children[t]:
+            lifted = (
+                "SELECT e.dst AS id, d.s AS cs, sum(d.cnt)::BIGINT AS ccnt "
+                f"FROM ({node_sql(ch)}) d JOIN sym e ON e.src = d.id "
+                "GROUP BY 1, 2"
+            )
+            acc = (
+                "SELECT a.id, (a.s | l.cs)::BIGINT AS s, "
+                "sum(a.cnt * l.ccnt)::BIGINT AS cnt "
+                f"FROM ({acc}) a JOIN ({lifted}) l ON l.id = a.id "
+                "WHERE (a.s & l.cs) = 0 GROUP BY 1, 2"
+            )
+        return acc
+
+    return (
+        f"SELECT (sum(cnt) // {aut})::BIGINT AS colorful_trees, "
+        f"(sum(cnt) // {aut} * {num} // {den})::BIGINT AS est_trees "
+        f"FROM ({node_sql(0)}) root"
+    )
+
+
 def colorful_path_sql(k: int = 4) -> str:
     """DuckDB body (over the shared ``sym`` CTE) computing exactly
     :func:`colorful_path_count` — same md5 colors, same integer

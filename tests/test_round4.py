@@ -834,3 +834,80 @@ def test_colorful_dp_multicoloring(spark):
     assert row["colorful_paths"] == total
     num, den = 256, 24
     assert row["est_paths"] == total * num // (den * R)
+
+
+def test_colorful_tree_dp(spark):
+    """FASCIA rooted-tree DP: the path tree must reproduce the path
+    DP exactly; star and chair trees match a python backtracking
+    brute force using the same md5 colors."""
+    import hashlib
+
+    from graphminer_spark.algorithms.approx import (
+        colorful_path_count_dp,
+        colorful_tree_count,
+        tree_automorphisms,
+    )
+
+    edges = _random_graph(35, 110, seed=23)
+    canon = sorted({(min(a, b), max(a, b)) for a, b in edges if a != b})
+    adj = {}
+    for a, b in canon:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+
+    def brute(tree_edges):
+        nodes = sorted({v for e in tree_edges for v in e})
+        k = len(nodes)
+
+        def color(v):
+            return int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16) % k
+
+        tadj = {v: set() for v in nodes}
+        for a, b in tree_edges:
+            tadj[a].add(b)
+            tadj[b].add(a)
+        order = [0]
+        parent = {}
+        for v in order:
+            for u in sorted(tadj[v]):
+                if u not in parent and u != 0:
+                    parent[u] = v
+                    order.append(u)
+        maps = 0
+
+        def extend(i, phi):
+            nonlocal maps
+            if i == k:
+                maps += 1
+                return
+            t = order[i]
+            for g in adj.get(phi[parent[t]], ()):
+                if color(g) in {color(x) for x in phi.values()}:
+                    continue
+                phi[t] = g
+                extend(i + 1, phi)
+                del phi[t]
+
+        for g0 in adj:
+            extend(1, {0: g0})
+        return maps // tree_automorphisms(tree_edges)
+
+    sym = symmetrize(edges_df(spark, edges))
+    sym = sym.persist()
+    sym.count()
+    try:
+        # path tree == the specialized path DP
+        path4 = ((0, 1), (1, 2), (2, 3))
+        a = colorful_tree_count(sym, path4).collect()[0]
+        b = colorful_path_count_dp(sym, k=4).collect()[0]
+        assert a["colorful_trees"] == b["colorful_paths"]
+        assert a["est_trees"] == b["est_paths"]
+
+        for tree in (
+            ((0, 1), (0, 2), (0, 3)),  # star4, |Aut| = 6
+            ((0, 1), (1, 2), (2, 3), (1, 4)),  # chair, |Aut| = 2
+        ):
+            got = colorful_tree_count(sym, tree).collect()[0]
+            assert got["colorful_trees"] == brute(tree), tree
+    finally:
+        sym.unpersist()
