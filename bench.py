@@ -220,6 +220,19 @@ def main() -> None:
         lambda: colorful_path_count_dp(sparse_sym, k=4).collect(),
         extra=True,
     )
+    from graphminer_spark.algorithms.approx import (  # noqa: E402
+        colorful_tree_count,
+    )
+
+    # general rooted-tree DP (chair = 4-path + pendant): ~360M
+    # colorful embeddings aggregated without materialization
+    timed(
+        "tree_chair_colorful_dense",
+        lambda: colorful_tree_count(
+            sparse_sym, ((0, 1), (1, 2), (2, 3), (1, 4))
+        ).collect(),
+        extra=True,
+    )
     from graphminer_spark.graph.partition2d import triangle_count_2d  # noqa: E402
 
     # 2D block-local path: nc sized so C(nc,3) triples >= cores and a
