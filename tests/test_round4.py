@@ -911,3 +911,27 @@ def test_colorful_tree_dp(spark):
             assert got["colorful_trees"] == brute(tree), tree
     finally:
         sym.unpersist()
+
+
+def test_colorful_dp_plans_stay_jvm_side(spark):
+    """The color-coding DP plans are pure JVM expressions: no per-row
+    Python (BatchEvalPython), and the color derivation (md5/conv/
+    shiftleft) folds into the scans/joins."""
+    from graphminer_spark.algorithms.approx import (
+        colorful_path_count_dp,
+        colorful_tree_count,
+    )
+
+    sym = symmetrize(edges_df(spark, _random_graph(30, 90, seed=5)))
+
+    def plan(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    p = plan(colorful_path_count_dp(sym, k=4))
+    assert "BatchEvalPython" not in p
+    assert "md5" in p and "shiftleft" in p
+
+    # tree DP materializes eagerly (localCheckpoint) — assert on the
+    # pre-aggregation state instead
+    t = plan(colorful_tree_count(sym, ((0, 1), (0, 2), (0, 3))))
+    assert "BatchEvalPython" not in t
