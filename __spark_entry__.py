@@ -344,9 +344,13 @@ def _q_fsm_4edge(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = tpch_edges(spark, sf_dir, divisor=1, scramble=True, sample_mod=2)
     sym = symmetrize(edges, dedup=False)
     verts = degrees(sym).select("id")
-    minsup = max(3, edges.count() // 1500)
+    # adaptive minsup resolved INSIDE the mine from its existing
+    # symmetric-count action (|sym| = 2|E| exactly, dedup=False union),
+    # so the input is scanned once — matches the oracle's |E| // 1500
     return fsm_4edge_support(
-        sym, with_synthetic_labels(verts), minsup=minsup
+        sym,
+        with_synthetic_labels(verts),
+        minsup_fn=lambda m: max(3, m // 3000),
     )
 
 

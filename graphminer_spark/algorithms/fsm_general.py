@@ -9,16 +9,26 @@ re-expression — instead of DFS codes on a recursion stack, the frontier
 is a DataFrame of *edge-set embeddings*:
 
 * a level-k embedding is one row ``(es, vlist)`` — ``es`` the SORTED
-  set of k graph edges of one connected edge-subgraph occurrence
-  (set semantics: ``dropDuplicates`` replaces the reference's
-  canonical-extension test, the same trade ``pangolin.extend_sets``
-  makes) and ``vlist`` the sorted ``(vertex, label)`` structs, carried
+  set of k graph edges of one connected edge-subgraph occurrence and
+  ``vlist`` the sorted ``(vertex, label)`` structs, carried
   incrementally so no level ever re-joins the label table;
-* extension = one join against the labeled symmetric edge table: add
-  any edge incident to the current vertex set, forward (new vertex)
-  and backward (closing) edges both — every connected (k+1)-edge
-  subgraph contains a connected k-edge subgraph, so the frontier is
-  complete;
+* extension = one join against the labeled symmetric edge table
+  (pre-pruned after level 1 to edges whose label pair is frequent —
+  gSpan's anti-monotone 1-edge fact), then a CANONICAL-PARENT filter
+  (the Spark analogue of the reference's is_min rejection,
+  ``src/fsm/omp_base.cc:150-239``): candidate S = E' + ne survives
+  only when ne is the lexicographically MAXIMUM edge of S whose
+  removal keeps S connected, and (for backward edges, both endpoints
+  already in E') only via the smaller anchor. Every connected
+  (k+1)-edge subgraph has at least one removable edge and its parent
+  S − e* is a connected k-edge subgraph whose pattern is a subpattern
+  of S's (MNI is anti-monotone, Bringmann & Nijssen), so the frontier
+  stays complete for frequent patterns while each S is generated
+  EXACTLY ONCE — no per-level ``dropDuplicates`` array-key shuffle.
+  Removability is a property of the index-space STRUCTURE: ``vs`` is
+  sorted, so concrete-edge lex order equals index-edge lex order and
+  the max removable edge is computed once per structure on the
+  driver, broadcast, and checked as a pure expression;
 * pattern identity = two-phase canonicalization (the quick-pattern →
   canonical-pattern aggregation of ``miner.h``), split so ALL per-row
   work stays JVM-side: the driver canonicalizes only the ≤ a few
@@ -77,6 +87,38 @@ def _structure_canon(qedges: tuple, n: int):
         elif edges_p == best:
             mins.append(assign)
     return best, tuple(mins)
+
+
+@lru_cache(maxsize=None)
+def _max_removable(qedges: tuple, n: int):
+    """Max index-space edge of the structure whose removal keeps the
+    remaining edges connected (over their own endpoint set) — the
+    canonical-parent edge. Always exists for k ≥ 2 (any spanning-tree
+    leaf edge is removable). Because embeddings carry ``vs`` sorted,
+    the max removable CONCRETE edge of every occurrence of this
+    structure sits at exactly these index positions."""
+    best = None
+    for e in qedges:
+        rest = [x for x in qedges if x != e]
+        if not rest:
+            continue
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        verts = set()
+        for a, b in rest:
+            verts.add(a)
+            verts.add(b)
+            ra, rb = find(a), find(b)
+            parent[ra] = rb
+        if len({find(v) for v in verts}) == 1 and (best is None or e > best):
+            best = e
+    return best
 
 
 def _decode_4edge(canon_edges, canon_labels):
@@ -167,9 +209,14 @@ def _with_quick(emb: DataFrame) -> DataFrame:
 
 def _extend(emb: DataFrame, lab_sym: DataFrame) -> DataFrame:
     """One frontier level: every embedding grows by one incident edge
-    (forward or backward), each (k+1)-edge subgraph exactly once. The
-    labeled edge table carries the new endpoint's label, so ``vlist``
-    extends without a label join."""
+    (forward or backward). Backward edges (both endpoints already in
+    the vertex set) are generated only via their SMALLER endpoint as
+    anchor, so within one parent each candidate appears once; the
+    cross-parent dedup is the canonical-parent filter downstream —
+    together they make each (k+1)-edge subgraph appear exactly once
+    with NO dropDuplicates shuffle. The labeled edge table carries the
+    new endpoint's label, so ``vlist`` extends without a label join.
+    Output carries ``ne`` (the added edge) for the parent check."""
     ext = (
         emb.select(
             "es", "vlist",
@@ -194,7 +241,8 @@ def _extend(emb: DataFrame, lab_sym: DataFrame) -> DataFrame:
     )
     known = F.exists("vlist", lambda x: x["v"] == F.col("w"))
     return (
-        ext.select(
+        ext.filter(~known | (F.col("anchor") < F.col("w")))
+        .select(
             F.array_sort(F.concat("es", F.array("ne"))).alias("es"),
             F.when(known, F.col("vlist"))
             .otherwise(
@@ -211,15 +259,36 @@ def _extend(emb: DataFrame, lab_sym: DataFrame) -> DataFrame:
                 )
             )
             .alias("vlist"),
-        ).dropDuplicates(["es"])
+            "ne",
+        )
     )
 
 
-def _canonical_rows(ann: DataFrame, smap: DataFrame) -> DataFrame:
+def _canonical_rows(
+    ann: DataFrame, smap: DataFrame, check_parent: bool = False
+) -> DataFrame:
     """Attach canonical code + min-achieving assignments, all JVM-side:
     ``clabels`` = lexicographic min over the structure's assignments of
-    the permuted label tuple; ``code`` identifies the pattern."""
+    the permuted label tuple; ``code`` identifies the pattern. With
+    ``check_parent``, keep only rows whose added edge ``ne`` sits at
+    the structure's max-removable index positions — the canonical-
+    parent test that replaces cross-parent ``dropDuplicates``."""
     joined = ann.join(F.broadcast(smap), "qkey")
+    if check_parent:
+        joined = joined.filter(
+            (
+                (F.array_position(F.col("vs"), F.col("ne")["u"]) - 1).cast(
+                    "int"
+                )
+                == F.col("ra")
+            )
+            & (
+                (F.array_position(F.col("vs"), F.col("ne")["v"]) - 1).cast(
+                    "int"
+                )
+                == F.col("rb")
+            )
+        )
     labeling = lambda a: F.transform(  # noqa: E731
         a, lambda i: F.element_at(F.col("labels"), i + 1)
     )
@@ -266,8 +335,15 @@ def _level_supports(canon: DataFrame) -> DataFrame:
     )
 
 
-def _mine(sym_edges, labeled_vertices, k, minsup):
-    """Shared frontier loop → (supports DF, sid → canon_edges map)."""
+def _mine(sym_edges, labeled_vertices, k, minsup=None, minsup_fn=None,
+          stats=None):
+    """Shared frontier loop → (supports DF, sid → canon_edges map).
+
+    ``minsup_fn`` folds adaptive support into the mine: it receives the
+    SYMMETRIC edge count (already an action the loop needs for AQE
+    gating) so callers don't pay a second scan of the input. ``stats``
+    (a dict, opt-in — adds one count action per level) collects
+    per-level candidate/frontier row counts for bench reporting."""
     from graphminer_spark.checkpoint import superstep_planning
 
     spark = sym_edges.sparkSession
@@ -278,15 +354,17 @@ def _mine(sym_edges, labeled_vertices, k, minsup):
             lv.select(F.col("id").alias("dst"), F.col("vlabel").alias("ld")),
             "dst",
         )
-        .persist()
-    )
-    m_edges = lab_sym.count()
-    emb = (
-        lab_sym.filter(F.col("src") < F.col("dst"))
         .join(
             lv.select(F.col("id").alias("src"), F.col("vlabel").alias("ls")),
             "src",
         )
+        .persist()
+    )
+    m_edges = lab_sym.count()
+    if minsup is None:
+        minsup = minsup_fn(m_edges)
+    emb = (
+        lab_sym.filter(F.col("src") < F.col("dst"))
         .select(
             F.array(
                 F.struct(F.col("src").alias("u"), F.col("dst").alias("v"))
@@ -317,6 +395,8 @@ def _mine(sym_edges, labeled_vertices, k, minsup):
             if prev is not None:
                 prev.unpersist()
             prev = emb
+            if stats is not None:
+                stats[f"level{level}_candidates"] = emb.count()
             ann = _with_quick(emb)
             # tiny collect: the distinct index-space STRUCTURES (≤ a few
             # hundred), not the labeled quick codes (can be 10⁵⁺)
@@ -359,12 +439,24 @@ def _mine(sym_edges, labeled_vertices, k, minsup):
                 cedges, assigns = _structure_canon(qedges, n)
                 sid = repr(cedges)
                 sid_edges[sid] = cedges
-                srows.append((qkey, sid, [list(a) for a in assigns]))
+                rem = _max_removable(qedges, n)
+                ra, rb = rem if rem is not None else (-1, -1)
+                srows.append(
+                    (qkey, sid, [list(a) for a in assigns], ra, rb)
+                )
             smap = spark.createDataFrame(
-                srows, "qkey string, sid string, assigns array<array<int>>"
+                srows,
+                "qkey string, sid string, assigns array<array<int>>, "
+                "ra int, rb int",
             )
-            canon = _canonical_rows(ann, smap)
-            sup = _level_supports(canon).filter(F.col("support") >= minsup)
+            canon = _canonical_rows(ann, smap, check_parent=level > 1)
+            sup = (
+                _level_supports(canon)
+                .filter(F.col("support") >= minsup)
+                .localCheckpoint(eager=True)  # ≤ pattern-space rows
+            )
+            if stats is not None:
+                stats[f"level{level}_frequent"] = sup.count()
             if level < k:
                 # anti-monotone prune: only embeddings of frequent patterns
                 # stay on the frontier
@@ -372,7 +464,40 @@ def _mine(sym_edges, labeled_vertices, k, minsup):
                     canon.join(sup.select("code"), "code", "left_semi")
                     .select("es", "vlist")
                 )
-    out = sup.localCheckpoint(eager=True)
+                if level == 1:
+                    # gSpan's 1-edge fact: an extension edge whose label
+                    # pair is infrequent cannot appear in any frequent
+                    # pattern — shrink the extension table once, for every
+                    # later level (affects only infrequent-pattern
+                    # candidate counts, which the support filter drops
+                    # anyway)
+                    pairs = set()
+                    for r in sup.select("code").collect():
+                        lpart = r["code"].split("|", 1)[1]
+                        la, lb = (
+                            int(x)
+                            for x in lpart.strip("[]").split(",")
+                            if x.strip()
+                        )
+                        pairs.add((la, lb))
+                    pair_df = spark.createDataFrame(
+                        sorted(pairs), "pl int, ph int"
+                    )
+                    pruned = lab_sym.join(
+                        F.broadcast(pair_df),
+                        (
+                            F.least(F.col("ls"), F.col("ld")).cast("int")
+                            == F.col("pl")
+                        )
+                        & (
+                            F.greatest(F.col("ls"), F.col("ld")).cast("int")
+                            == F.col("ph")
+                        ),
+                        "left_semi",
+                    ).persist()
+                    lab_sym.unpersist()
+                    lab_sym = pruned
+    out = sup
     if prev is not None:
         prev.unpersist()
     lab_sym.unpersist()
@@ -384,28 +509,36 @@ def fsm_kedge_support(
     labeled_vertices: DataFrame,
     k: int,
     minsup: int,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Frequent k-edge patterns with MNI support → ``(code, support)``,
     support ≥ minsup; ``code`` is the canonical structure + minimal
     label tuple of the pattern. Driver loop = gSpan's level-wise
-    frontier with anti-monotone support pruning between levels."""
+    frontier with anti-monotone support pruning between levels and
+    canonical-parent extension (each candidate generated once)."""
     assert k >= 1
-    sup, _ = _mine(sym_edges, labeled_vertices, k, minsup)
+    sup, _ = _mine(sym_edges, labeled_vertices, k, minsup, stats=stats)
     return sup
 
 
 def fsm_4edge_support(
     sym_edges: DataFrame,
     labeled_vertices: DataFrame,
-    minsup: int,
+    minsup: int | None = None,
+    minsup_fn=None,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Frequent 4-edge patterns with MNI support in the named-shape
     layout → ``(shape, q1, q2, q3, q4, q5, support)``; q5 = -1 for the
     4-vertex shapes (cycle4 / paw). The gate-facing face of
     :func:`fsm_kedge_support` — same frontier loop, plus a driver-side
     decode of each frequent canonical pattern into the shape-semantic
-    key the DuckDB oracle reproduces."""
-    sup, sid_edges = _mine(sym_edges, labeled_vertices, 4, minsup)
+    key the DuckDB oracle reproduces. ``minsup_fn`` (symmetric edge
+    count → minsup) resolves adaptive support inside the mine's
+    existing count action — no extra input scan."""
+    sup, sid_edges = _mine(
+        sym_edges, labeled_vertices, 4, minsup, minsup_fn, stats=stats
+    )
     spark = sym_edges.sparkSession
     # decode the FREQUENT patterns only (≤ pattern-space, small)
     pats = sup.collect()
