@@ -40,7 +40,9 @@ from graphminer_spark.multimodal import (
     dedup_assets,
     extract_media_meta,
     frame_sample,
+    image_pixel_stats,
     synthesize_assets,
+    synthesize_png_assets,
 )
 from graphminer_spark.graph.build import (
     build_dag,
@@ -733,6 +735,32 @@ def _q_path4_colorful_dp(spark, sf_dir):
     )
 
 
+def _q_path4_colorful_dp_r3(spark, sf_dir):
+    # R=3 salted colorings in ONE plan, one exact-integer row per
+    # coloring — the variance-reduction evidence for the estimator
+    # family (stderr derives from these via approx.estimate_ci)
+    from graphminer_spark.algorithms.approx import colorful_path_count_dp
+
+    return colorful_path_count_dp(
+        symmetrize(tpch_edges(spark, sf_dir), dedup=False),
+        k=4,
+        n_colorings=3,
+        per_coloring=True,
+    )
+
+
+def _q_rw_sample(spark, sf_dir):
+    # deterministic random-walk sampler (KDD'06 family,
+    # reference src/approx/README.md): md5-seeded walks with
+    # hash-indexed neighbor steps — trajectory rows (walk_id, step, v)
+    from graphminer_spark.graph.sampling import random_walk_sample
+
+    edges = tpch_edges(spark, sf_dir, divisor=6, scramble=True)
+    return random_walk_sample(
+        symmetrize(edges, dedup=False), walk_len=3, seed_mod=20
+    )
+
+
 def _q_tc_2d(spark, sf_dir):
     # 2D cluster-triple blocks (graph_partition.cc:138-226 analogue);
     # exact, agreement-tested against tc_total's wedge-join plan
@@ -771,6 +799,15 @@ def _q_mm_meta(spark, sf_dir):
 
 def _q_mm_frames(spark, sf_dir):
     return frame_sample(synthesize_assets(_docs(spark, sf_dir)), every_n=2)
+
+
+def _q_mm_png_stats(spark, sf_dir):
+    # REAL codec path: encode every document as an actual grayscale PNG
+    # (closed-form gradient pixels), decode it back through the pure-
+    # stdlib PNG codec (zlib inflate + all five scanline unfilters),
+    # and emit integer pixel statistics the SQL oracle re-derives
+    # arithmetically — proving decode-to-pixels, not header plumbing
+    return image_pixel_stats(synthesize_png_assets(_docs(spark, sf_dir)))
 
 
 def _q_mm_dedup(spark, sf_dir):
@@ -830,16 +867,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     CORRECTNESS file records the first 50 entries, so positions 1-50
     certify one representative of EVERY operator family (north-rule
     algorithms and graph core first, then patterns/FSM/Query, then one
-    row per LLM-pipeline family). Round-4 ROTATION: which variant
-    occupies each family's slot rotates between rounds so every entry
-    accumulates a driver verdict over time — this round 12 entries that
-    sat past the cap in r03 (clique4/8, sgl_pentagon/hourglass,
-    rev-label-index, minhash sigs, simhash, quality, frame-sample,
-    emb near-dup, events, OLAP) hold their family's slot, and the
-    round-3 holders moved past the cap, still covered by
-    ``tools/check_oracles.py`` locally. ``tc_total_2d`` (new 2D
-    partitioning component) takes the TC-variant slot from
-    ``tc_approx``, which passed the driver gate in r03."""
+    row per LLM-pipeline family). ROTATION: which variant occupies each
+    family's slot rotates between rounds so every entry accumulates a
+    driver verdict over time. Round 5: 13 entries that sat past the cap
+    in r04 rotate back in (tc_approx, tree-chair colorful DP, clique5,
+    wpr, nlf, sgl_taileddiamond — never driver-checked — and
+    sgl_dumbbell, lsh/simhash near-dup, token-count,
+    query_labeled_diamond, ev_sessions, olap_top_parts), the r04
+    holders move past the cap (still covered by
+    ``tools/check_oracles.py`` locally), and the round's NEW components
+    (real-PNG pixel stats, random-walk sampler, R=3 color-coding
+    estimator) take in-cap slots from single-edge FSM variants and
+    assortativity, whose families keep other in-cap rows."""
     return {
         # --- graph core + north-rule algorithms (§2.2/§2.4) ---
         "graph_edges": _q_edges,
@@ -847,10 +886,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_dag": _q_dag_edges,
         "tc_total": _q_tc_total,
         "tc_per_edge": _q_tc_per_edge,
-        "tc_total_2d": _q_tc_2d,
+        "tc_approx": _q_tc_approx,
         "pagerank_5iter": _q_pagerank5,
         "pagerank_5iter_csr": _q_pagerank5_csr,
-        "ppr_5iter": _q_ppr5,
+        "wpr_5iter": _q_wpr5,
         "cc_components": _q_cc,
         "lp_labels_2iter": _q_lp2,
         "graph_kcore": _q_kcore,
@@ -858,81 +897,87 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_bfs_dist": _q_bfs,
         "hits_5iter": _q_hits5,
         "graph_clustering": _q_clustering,
-        "graph_assortativity": _q_assortativity,
         "temporal_tri_count": _q_temporal_tri,
         "dyn_tri_delta": _q_dyn_tri,
-        # --- patterns / motifs / cliques (rotated: 4 ← 6/7; 8 now
-        # past-cap so the approx family regains a driver slot) ---
-        "clique4_total": _q_clique4,
-        # --- approx family driver slot: the FASCIA color-set DP ---
-        "path4_colorful_dp": _q_path4_colorful_dp,
+        # --- patterns / motifs / cliques (rotated: 5 ← 4) ---
+        "clique5_total": _q_clique5,
+        # --- approx family driver slots: general rooted-tree color-set
+        # DP + the R=3 variance-reduced estimator (new component) ---
+        "tree_chair_colorful": _q_tree_chair_colorful,
+        "path4_colorful_dp_r3": _q_path4_colorful_dp_r3,
         "motif4_counts": _q_motif4,
         "motif5_counts": _q_motif5,
         "pattern_counts": _q_patterns,
+        # --- sampling sources (new component) ---
+        "graph_rw_sample": _q_rw_sample,
         # --- labels / features / FSM / Query pipeline / GKS / bipartite ---
         "graph_label_freq": _q_label_freq,
-        "graph_rev_label_index": _q_rev_label_index,
+        "graph_nlf": _q_nlf,
         "graph_feat_agg": _q_feat_agg,
         "labeled_tri_count": _q_labeled_tri,
-        "fsm_edge_support": _q_fsm_edges,
         "fsm_2edge_support": _q_fsm_2edge,
         "fsm_3edge_support": _q_fsm_3edge,
         "fsm_4edge_support": _q_fsm_4edge,
-        "fsm_elabel_support": _q_fsm_elabel,
         "fsm_elabel_2edge_support": _q_fsm_elabel_2edge,
-        "query_labeled_4path": _q_labeled_4path,
+        "query_labeled_diamond": _q_labeled_diamond,
         "gks_3keywords": _q_gks,
         "bip_butterflies": _q_butterflies,
-        # --- SgL representatives (rotated: pentagon/hourglass) ---
-        "sgl_pentagon": _mk_sgl_query("pentagon"),
-        "sgl_hourglass": _mk_sgl_query("hourglass"),
+        # --- SgL representatives (rotated: taileddiamond — first-ever
+        # driver row — and dumbbell, last checked r02) ---
+        "sgl_taileddiamond": _mk_sgl_query("taileddiamond"),
+        "sgl_dumbbell": _mk_sgl_query("dumbbell"),
         # --- one row per LLM-pipeline family (rotated variants) ---
         "docs_exact_dedup": _q_exact_dedup,
-        "docs_minhash_sigs": _q_minhash,
+        "docs_lsh_neardup": _q_lsh_neardup,
         "docs_jaccard_pairs": _q_jaccard_pairs,
-        "docs_simhash": _q_simhash,
-        "docs_quality": _q_quality,
+        "docs_simhash_neardup": _q_simhash_neardup,
+        "docs_token_count": _q_token_count,
         "emb_knn": _q_knn,
         "emb_ivf_ann": _q_ivf_ann,
         "emb_neardup": _q_emb_neardup,
-        "mm_frame_sample": _q_mm_frames,
-        # --- events + OLAP (first driver rows for these families) ---
-        "ev_windowed_counts": _q_ev_windows,
-        "olap_revenue_rollup": _q_rollup,
+        # --- multimodal: REAL PNG decode-to-pixels (new component) ---
+        "mm_png_pixel_stats": _q_mm_png_stats,
+        # --- events + OLAP (rotated variants) ---
+        "ev_sessions": _q_ev_sessions,
+        "olap_top_parts": _q_top_parts,
         # ---------------- past the 50-entry driver cap ----------------
-        "tc_approx": _q_tc_approx,
+        "tc_total_2d": _q_tc_2d,
+        "ppr_5iter": _q_ppr5,
+        "graph_assortativity": _q_assortativity,
+        "clique4_total": _q_clique4,
+        "path4_colorful_dp": _q_path4_colorful_dp,
         "path4_colorful": _q_path4_colorful,
-        "tree_chair_colorful": _q_tree_chair_colorful,
         "clique8_total": _q_clique8,
         "graph_degree_hist": _q_degree_hist,
-        "graph_nlf": _q_nlf,
-        "wpr_5iter": _q_wpr5,
+        "graph_rev_label_index": _q_rev_label_index,
         "cc_sizes": _q_cc_sizes,
+        "fsm_edge_support": _q_fsm_edges,
+        "fsm_elabel_support": _q_fsm_elabel,
         **{
             f"sgl_{n}": _mk_sgl_query(n)
             for n in sorted(SGL_GRAPH)
-            if n not in ("pentagon", "hourglass")
+            if n not in ("taileddiamond", "dumbbell")
         },
-        "clique5_total": _q_clique5,
         "clique6_total": _q_clique6,
         "clique7_total": _q_clique7,
         "clique9_total": _q_clique9,
-        "query_labeled_diamond": _q_labeled_diamond,
+        "query_labeled_4path": _q_labeled_4path,
         "bip_degrees": _q_bip_degrees,
-        "docs_lsh_neardup": _q_lsh_neardup,
-        "docs_simhash_neardup": _q_simhash_neardup,
+        "docs_minhash_sigs": _q_minhash,
+        "docs_simhash": _q_simhash,
+        "docs_quality": _q_quality,
         "docs_text_stats": _q_text_stats,
-        "docs_token_count": _q_token_count,
         "docs_langid": _q_langid,
         "docs_fingerprint": _q_fingerprint,
         "docs_top_terms": _q_top_terms,
         "emb_lsh_ann": _q_lsh_ann,
         "mm_media_meta": _q_mm_meta,
+        "mm_frame_sample": _q_mm_frames,
         "mm_asset_dedup": _q_mm_dedup,
-        "ev_sessions": _q_ev_sessions,
+        "ev_windowed_counts": _q_ev_windows,
         "ev_top_users": _q_ev_top_users,
         "ev_funnel": _q_ev_funnel,
-        "olap_top_parts": _q_top_parts,
+        "olap_revenue_rollup": _q_rollup,
         "olap_status_pivot": _q_pivot,
     }
 
@@ -947,6 +992,22 @@ def _path4_colorful_dp_sql() -> str:
     from graphminer_spark.algorithms.approx import colorful_path_dp_sql
 
     return graph_query(colorful_path_dp_sql(4))
+
+
+def _path4_colorful_dp_r3_sql() -> str:
+    from graphminer_spark.algorithms.approx import colorful_path_dp_sql
+
+    return graph_query(
+        colorful_path_dp_sql(4, n_colorings=3, per_coloring=True)
+    )
+
+
+def _rw_sample_sql() -> str:
+    from graphminer_spark.graph.sampling import random_walk_sql
+
+    return graph_query(
+        random_walk_sql(walk_len=3, seed_mod=20), divisor=6, scramble=True
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -996,6 +1057,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "path4_colorful": _path4_colorful_sql(),
         "path4_colorful_dp": _path4_colorful_dp_sql(),
+        "path4_colorful_dp_r3": _path4_colorful_dp_r3_sql(),
+        "graph_rw_sample": _rw_sample_sql(),
         "tree_chair_colorful": _tree_chair_colorful_sql(),
         "temporal_tri_count": temporal_tri_sql(TEMPORAL_DELTA),
         "dyn_tri_delta": graph_query(
@@ -1015,6 +1078,22 @@ def oracle_sql() -> dict[str, str]:
                OR md5(b::VARCHAR || ':' || c::VARCHAR) < '2'
             """
         ),
+        "mm_png_pixel_stats": """
+            WITH p AS (SELECT doc_id AS asset_id, 8 + doc_id % 9 AS width,
+                              8 + doc_id % 7 AS height FROM documents),
+            px AS (
+              SELECT asset_id, width, height,
+                     (31*r.g + 17*c.g + asset_id) % 256 AS v
+              FROM p, LATERAL (SELECT unnest(range(0, height)) AS g) r,
+                      LATERAL (SELECT unnest(range(0, width)) AS g) c
+            )
+            SELECT asset_id, width::INT AS width, height::INT AS height,
+                   ((sum(v) * 10000) // (255 * width * height))::INT
+                     AS px_mean_bp,
+                   sum(CASE WHEN v > 0 THEN 1 ELSE 0 END)::BIGINT
+                     AS px_nonzero
+            FROM px GROUP BY asset_id, width, height
+        """,
         "mm_media_meta": """
             WITH p AS (
               SELECT doc_id AS asset_id, doc_id % 3 AS k,

@@ -93,7 +93,10 @@ def colorful_path_count(sym_edges: DataFrame, k: int = 4) -> DataFrame:
 
 
 def colorful_path_count_dp(
-    sym_edges: DataFrame, k: int = 4, n_colorings: int = 1
+    sym_edges: DataFrame,
+    k: int = 4,
+    n_colorings: int = 1,
+    per_coloring: bool = False,
 ) -> DataFrame:
     """Same quantity as :func:`colorful_path_count` — the colorful
     simple-k-path count and its k^k/k! estimate — via FASCIA's
@@ -181,6 +184,16 @@ def colorful_path_count_dp(
             .agg(F.sum("cnt").alias("cnt"))
         )
     num, den = _SCALE[k]
+    if per_coloring:
+        # one exact-integer row per salted coloring — the gate-facing
+        # face of the R-replicated estimator (variance evidence rows);
+        # stderr/CI derive from these via estimate_ci()
+        if n_colorings < 2:
+            raise ValueError("per_coloring needs n_colorings >= 2")
+        return state.groupBy("r").agg(
+            F.expr("sum(cnt) div 2").alias("colorful_paths"),
+            F.expr(f"sum(cnt) div 2 * {num} div {den}").alias("est_paths"),
+        )
     return state.agg(
         F.expr("sum(cnt) div 2").alias("colorful_paths"),
         F.expr(
@@ -189,39 +202,73 @@ def colorful_path_count_dp(
     )
 
 
-def colorful_path_dp_sql(k: int = 4) -> str:
+def colorful_path_dp_sql(
+    k: int = 4, n_colorings: int = 1, per_coloring: bool = False
+) -> str:
     """DuckDB body (over the shared ``sym`` CTE) computing exactly
     :func:`colorful_path_count_dp` — the same unrolled color-set DP
-    in integer/bitmask arithmetic."""
+    in integer/bitmask arithmetic, with the same salted-coloring
+    replication when ``n_colorings > 1``."""
     num, den = _SCALE[k]
+    salted = n_colorings > 1
 
     def color(v: str) -> str:
-        return f"(('0x' || substr(md5({v}::VARCHAR), 1, 8))::BIGINT % {k})"
+        key = f"w.r::VARCHAR || ':' || {v}::VARCHAR" if salted else f"{v}::VARCHAR"
+        return f"(('0x' || substr(md5({key}), 1, 8))::BIGINT % {k})"
 
+    rkey = "w.r, " if salted else ""
+    seed_from = (
+        "(SELECT DISTINCT src FROM sym) w"
+        if not salted
+        else f"(SELECT w0.src, t.r FROM (SELECT DISTINCT src FROM sym) w0,"
+        f" range({n_colorings}) t(r)) w"
+    )
     rounds = [
-        "w1 AS (SELECT src AS id, "
-        f"(1 << {color('src')})::BIGINT AS s, 1::BIGINT AS cnt "
-        "FROM (SELECT DISTINCT src FROM sym))"
+        f"w1 AS (SELECT {rkey}w.src AS id, "
+        f"(1 << {color('w.src')})::BIGINT AS s, 1::BIGINT AS cnt "
+        f"FROM {seed_from})"
     ]
     for i in range(2, k + 1):
         prev = f"w{i - 1}"
         rounds.append(
-            f"w{i} AS (SELECT e.dst AS id, "
+            f"w{i} AS (SELECT {rkey}e.dst AS id, "
             f"(w.s | (1 << {color('e.dst')}))::BIGINT AS s, "
             f"sum(w.cnt)::BIGINT AS cnt "
             f"FROM {prev} w JOIN sym e ON e.src = w.id "
             f"WHERE (w.s & (1 << {color('e.dst')})) = 0 "
-            f"GROUP BY 1, 2)"
+            f"GROUP BY ALL)"
         )
     # WITH scoped inside a subquery so the body composes with the
     # shared graph CTE prefix (graph_query wraps it in the outer WITH)
     # final casts: DuckDB's sum() yields HUGEINT, which stringifies
     # differently from Spark's BIGINT in the value-hash harness
+    if per_coloring:
+        return (
+            f"SELECT r, (sum(cnt) // 2)::BIGINT AS colorful_paths, "
+            f"(sum(cnt) // 2 * {num} // {den})::BIGINT AS est_paths FROM "
+            f"(WITH {', '.join(rounds)} SELECT r, cnt FROM w{k}) t "
+            f"GROUP BY r"
+        )
     return (
         f"SELECT (sum(cnt) // 2)::BIGINT AS colorful_paths, "
-        f"(sum(cnt) // 2 * {num} // {den})::BIGINT AS est_paths FROM "
+        f"(sum(cnt) // 2 * {num} // {den * n_colorings})::BIGINT "
+        f"AS est_paths FROM "
         f"(WITH {', '.join(rounds)} SELECT cnt FROM w{k}) t"
     )
+
+
+def estimate_ci(per_coloring_rows: list) -> tuple[int, float]:
+    """(mean estimate, standard error) from per-coloring exact-integer
+    estimates — driver-side math over R rows (R is tiny by design).
+    stderr = sample-stddev / sqrt(R), the variance-reduction evidence
+    for the R-replicated estimator."""
+    xs = [int(r["est_paths"]) for r in per_coloring_rows]
+    n = len(xs)
+    mean = sum(xs) // n
+    if n < 2:
+        return mean, 0.0
+    var = sum((x - sum(xs) / n) ** 2 for x in xs) / (n - 1)
+    return mean, (var / n) ** 0.5
 
 
 def _rooted_tree(tree_edges: tuple) -> tuple[int, dict[int, list[int]]]:

@@ -89,6 +89,39 @@ def _structure_canon(qedges: tuple, n: int):
     return best, tuple(mins)
 
 
+def _successor_structures(structs: set[tuple]) -> set[tuple]:
+    """All index-space structures one extension can produce from the
+    given level's structures — computed on the DRIVER, before the
+    extension join runs, so the canonical-parent filter and structure
+    map fuse into the extension pass (no pre-filter materialization or
+    collect over raw candidates). Backward edges add (a, b) in place;
+    forward edges insert the new vertex at every sorted position p
+    (shifting indices ≥ p), attached to every existing vertex. The
+    result is a superset of the structures the data can realize —
+    unused entries are dead broadcast rows, never wrong."""
+    out: set[tuple] = set()
+    for qedges in structs:
+        n = max(max(e) for e in qedges) + 1
+        es = set(qedges)
+        for a in range(n):
+            for b in range(a + 1, n):
+                if (a, b) not in es:
+                    out.add(tuple(sorted(es | {(a, b)})))
+        for p in range(n + 1):
+            shifted = {
+                tuple(
+                    sorted(
+                        (a + 1 if a >= p else a, b + 1 if b >= p else b)
+                    )
+                )
+                for a, b in es
+            }
+            for a in range(n):
+                ap = a + 1 if a >= p else a
+                out.add(tuple(sorted(shifted | {tuple(sorted((ap, p)))})))
+    return out
+
+
 @lru_cache(maxsize=None)
 def _max_removable(qedges: tuple, n: int):
     """Max index-space edge of the structure whose removal keeps the
@@ -170,11 +203,18 @@ def _decode_4edge(canon_edges, canon_labels):
 # ------------------------------------------------------- frontier loop
 
 
+def _qkey_str(qedges: tuple) -> str:
+    """Driver-side rendering of an index-space structure, chosen to
+    match the ``_with_quick`` expression byte-for-byte (both sides emit
+    ``a:b,a:b,...`` over the sorted edge list)."""
+    return ",".join(f"{a}:{b}" for a, b in sorted(qedges))
+
+
 def _with_quick(emb: DataFrame) -> DataFrame:
     """Quick-pattern columns from the carried state — pure expressions:
     ``vs`` = sorted vertex ids, ``labels`` aligned to it, ``qkey`` =
-    the index-space edge structure as a string (the structure-map join
-    key)."""
+    the index-space edge structure rendered ``a:b,a:b,...`` (the
+    structure-map join key, same rendering as :func:`_qkey_str`)."""
     out = (
         emb.withColumn("vs", F.transform("vlist", lambda x: x["v"]))
         .withColumn("labels", F.transform("vlist", lambda x: x["l"]))
@@ -204,7 +244,18 @@ def _with_quick(emb: DataFrame) -> DataFrame:
             ),
         )
     )
-    return out.withColumn("qkey", qedges.cast("string"))
+    return out.withColumn(
+        "qkey",
+        F.array_join(
+            F.transform(
+                qedges,
+                lambda e: F.concat_ws(
+                    ":", e["a"].cast("string"), e["b"].cast("string")
+                ),
+            ),
+            ",",
+        ),
+    )
 
 
 def _extend(emb: DataFrame, lab_sym: DataFrame) -> DataFrame:
@@ -387,76 +438,68 @@ def _mine(sym_edges, labeled_vertices, k, minsup=None, minsup_fn=None,
     sid_edges: dict[str, tuple] = {}
     prev = None
     sup = None
-    with superstep_planning(spark, m_edges):
-        for level in range(1, k + 1):
-            if level > 1:
-                emb = _extend(emb, lab_sym)
-            emb = emb.localCheckpoint(eager=True)
-            if prev is not None:
-                prev.unpersist()
-            prev = emb
-            if stats is not None:
-                stats[f"level{level}_candidates"] = emb.count()
-            ann = _with_quick(emb)
-            # tiny collect: the distinct index-space STRUCTURES (≤ a few
-            # hundred), not the labeled quick codes (can be 10⁵⁺)
-            qkeys = [
-                (r["qkey"], tuple((e["a"], e["b"]) for e in r["qedges"]))
-                for r in ann.select(
-                    "qkey",
-                    F.array_sort(
-                        F.transform(
-                            "es",
-                            lambda e: F.struct(
-                                (
-                                    F.least(
-                                        F.array_position(F.col("vs"), e["u"]),
-                                        F.array_position(F.col("vs"), e["v"]),
-                                    )
-                                    - 1
-                                )
-                                .cast("int")
-                                .alias("a"),
-                                (
-                                    F.greatest(
-                                        F.array_position(F.col("vs"), e["u"]),
-                                        F.array_position(F.col("vs"), e["v"]),
-                                    )
-                                    - 1
-                                )
-                                .cast("int")
-                                .alias("b"),
-                            ),
-                        )
-                    ).alias("qedges"),
-                )
-                .dropDuplicates(["qkey"])
-                .collect()
-            ]
-            srows = []
-            for qkey, qedges in qkeys:
-                n = max(max(e) for e in qedges) + 1
-                cedges, assigns = _structure_canon(qedges, n)
-                sid = repr(cedges)
-                sid_edges[sid] = cedges
-                rem = _max_removable(qedges, n)
-                ra, rb = rem if rem is not None else (-1, -1)
-                srows.append(
-                    (qkey, sid, [list(a) for a in assigns], ra, rb)
-                )
-            smap = spark.createDataFrame(
+    structs: set[tuple] = {((0, 1),)}
+
+    def build_smap(structset):
+        """Driver-built structure map (canonical assignments + max
+        removable edge per structure), broadcast into the extension
+        pass — no data scan needed to discover structures."""
+        srows, qmap = [], {}
+        for qedges in sorted(structset):
+            n = max(max(e) for e in qedges) + 1
+            cedges, assigns = _structure_canon(qedges, n)
+            sid = repr(cedges)
+            sid_edges[sid] = cedges
+            rem = _max_removable(qedges, n)
+            ra, rb = rem if rem is not None else (-1, -1)
+            qk = _qkey_str(qedges)
+            qmap[qk] = qedges
+            srows.append((qk, sid, [list(a) for a in assigns], ra, rb))
+        return (
+            spark.createDataFrame(
                 srows,
                 "qkey string, sid string, assigns array<array<int>>, "
                 "ra int, rb int",
+            ),
+            qmap,
+        )
+
+    with superstep_planning(spark, m_edges):
+        for level in range(1, k + 1):
+            smap, qmap = build_smap(structs)
+            if level > 1:
+                emb = _extend(emb, lab_sym)
+            ann = _with_quick(emb)
+            # ONE pass: extension join → qkey → broadcast structure map
+            # → canonical-parent filter → materialize only the
+            # exactly-once embeddings (assigns re-derivable via the
+            # broadcast, so not persisted per row)
+            canon = (
+                _canonical_rows(ann, smap, check_parent=level > 1)
+                .select(
+                    "es", "vlist", "vs", "labels", "qkey", "code", "clabels"
+                )
+                .localCheckpoint(eager=True)
             )
-            canon = _canonical_rows(ann, smap, check_parent=level > 1)
+            if prev is not None:
+                prev.unpersist()
+            prev = canon
+            if stats is not None:
+                stats[f"level{level}_embeddings"] = canon.count()
+            # tiny collect: tighten next level's successor enumeration
+            # to structures the data actually realized
+            realized = {
+                qmap[r["qkey"]]
+                for r in canon.select("qkey").distinct().collect()
+            }
             sup = (
-                _level_supports(canon)
+                _level_supports(canon.join(F.broadcast(smap), "qkey"))
                 .filter(F.col("support") >= minsup)
                 .localCheckpoint(eager=True)  # ≤ pattern-space rows
             )
             if stats is not None:
                 stats[f"level{level}_frequent"] = sup.count()
+            structs = _successor_structures(realized)
             if level < k:
                 # anti-monotone prune: only embeddings of frequent patterns
                 # stay on the frontier

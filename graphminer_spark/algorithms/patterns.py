@@ -89,9 +89,21 @@ def _nlf_counts(lab: DataFrame) -> DataFrame:
     """Per-vertex neighbor-label counts ``(v, l, n)`` from the labeled
     symmetric edge table — O(|E|) in, ≤ min(|V|·L, 2|E|) out. The ONE
     auxiliary every hub-safe MNI kernel below derives its domains from
-    (``Graph::build_nlf``, ``src/common/graph.cc:631-643``)."""
-    return lab.groupBy(F.col("dst").alias("v"), F.col("ls").alias("l")).agg(
-        F.count("*").alias("n")
+    (``Graph::build_nlf``, ``src/common/graph.cc:631-643``).
+
+    PRECONDITION (ADVICE r04): the input must be a DEDUPLICATED simple
+    graph — one row per directed (src, dst). The kernels below read
+    ``n >= 2`` as "two DISTINCT neighbors with this label"; duplicate
+    edge rows (a symmetrize over a non-distinct list, or parallel
+    edges) would let one neighbor satisfy a two-arm requirement and
+    inflate MNI domains. The defensive dedup here makes the invariant
+    hold for any input at the cost of one aggregate that the groupBy
+    shuffle already pays for (same key prefix, map-side combined)."""
+    return (
+        lab.select("dst", "ls", "src")
+        .distinct()
+        .groupBy(F.col("dst").alias("v"), F.col("ls").alias("l"))
+        .agg(F.count("*").alias("n"))
     )
 
 
@@ -660,11 +672,21 @@ def fsm_elabel_2edge_support(
     """
     lab = _labeled_sym(sym_eledges, labeled_vertices).persist()
     # edge-labeled NLF: (v, el, l, n) — neighbors of v via an el edge
-    # carrying vertex label l
-    cnt = lab.groupBy(
-        F.col("dst").alias("v"), F.col("elabel").alias("el"),
-        F.col("ls").alias("l"),
-    ).agg(F.count("*").alias("n")).persist()
+    # carrying vertex label l. Defensive distinct (ADVICE r04, same
+    # invariant as _nlf_counts): n >= 2 must mean two DISTINCT
+    # neighbors in the bucket — duplicate (src, dst, elabel) rows
+    # would otherwise inflate two-arm domains. Parallel edges with
+    # DIFFERENT elabels stay distinct rows, as the semantics require.
+    cnt = (
+        lab.select("dst", "elabel", "ls", "src")
+        .distinct()
+        .groupBy(
+            F.col("dst").alias("v"), F.col("elabel").alias("el"),
+            F.col("ls").alias("l"),
+        )
+        .agg(F.count("*").alias("n"))
+        .persist()
+    )
 
     arm_lt = (F.col("la") < F.col("lc")) | (
         (F.col("la") == F.col("lc")) & (F.col("e1") <= F.col("e2"))

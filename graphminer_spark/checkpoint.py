@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import time
 from contextlib import contextmanager
 
@@ -36,6 +37,10 @@ from pyspark.sql import functions as F
 # AQE off — 9.6 s vs 12.7 s best-of-3 at sf0.1); above it, runtime
 # coalescing/skew handling pays for the planning cost many times over.
 SUPERSTEP_AQE_MIN_EDGES = 50_000_000
+
+# serializes AQE-gated superstep loops within one driver process so
+# overlapping loops cannot restore each other's stale conf value
+_AQE_GATE_LOCK = threading.Lock()
 
 
 @contextmanager
@@ -49,18 +54,23 @@ def superstep_planning(spark: SparkSession, n_edges: int):
     ``prune="auto"``.
 
     NOTE: mutates session-level SQL conf for the duration (restored in
-    a finally). Algorithms here run one driver loop at a time; a
-    multi-threaded driver sharing one session should serialize
-    iterative jobs or pin AQE explicitly."""
+    a finally). Gated loops are SERIALIZED per process by a module
+    lock (ADVICE r04): two overlapping loops on one session could
+    otherwise restore each other's stale value, and a concurrent
+    non-loop query would silently lose AQE mid-flight. The lock covers
+    the in-repo threat (threaded drivers, streaming queries kicked off
+    between supersteps of two algorithms); cross-process sessions are
+    independent Spark confs and need nothing."""
     if n_edges >= SUPERSTEP_AQE_MIN_EDGES:
         yield
         return
-    old = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try:
-        yield
-    finally:
-        spark.conf.set("spark.sql.adaptive.enabled", old)
+    with _AQE_GATE_LOCK:
+        old = spark.conf.get("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            yield
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", old)
 
 
 def materialize_with_agg(state: DataFrame, *aggs):
@@ -129,6 +139,12 @@ class CheckpointManager:
                 "iteration": iteration,
                 "ts": time.time(),
                 "checkpoint": path,
+                # column layout of the saved state (ADVICE r04): a
+                # consumer resuming a directory written by an older
+                # code era detects schema drift from the meta instead
+                # of misreading positional columns (e.g. hits' r03
+                # (id, hub, auth) -> r04 (id, auth, h_raw) change)
+                "layout": list(state.columns),
                 "partitions": lineage,
                 **metrics,
             }

@@ -29,8 +29,10 @@ sums by their exact multiplicities — integer-exact, no floating point.
 
 Scale analysis (the reason this path exists): the plain wedge-join TC
 (``triangles.py``) shuffles the wedge stream globally; this path
-replicates edges ~1.5*nc times but bounds EVERY task to O(|E| / nc^2)
-edges processed fully in one executor core's memory — the property the
+replicates edges ~1.5*nc times but bounds EVERY task's resident set to
+its triple's edges (~O(|E| / nc^2) for balanced blocks) plus a fixed
+wedge-chunk budget — the kernel never materializes a block's full
+O(sum deg^2) wedge list (see ``_count_block``) — the property the
 reference's 2D partitioner buys its distributed kernels
 (``src/triangle/dist_cpu.cpp``). Pick nc so a block triple fits the
 executor: nc = 32 puts a 10^12-edge graph at ~6 GB/task of raw edges
@@ -120,32 +122,66 @@ _BLOCK_COUNTS_SCHEMA = StructType(
 )
 
 
+# wedge-batch budget per chunk: the kernel's transient memory is
+# O(block edges + _WEDGE_CHUNK rows), NOT O(sum deg^2 of the block) —
+# skewed hubs split across as many chunks as their degree demands
+_WEDGE_CHUNK = 4_000_000
+
+
 def _count_block(pdf):
     """Local kernel for one cluster triple: count DAG triangles among
     this triple's edges, classed by how many distinct endpoint
     clusters the triangle touches. Pure pandas/numpy — Arrow-batched,
-    no per-row Python."""
+    no per-row Python.
+
+    The wedge build is CHUNKED per mid-vertex group: mids are packed
+    into batches whose total wedge count (indeg * outdeg) stays under
+    ``_WEDGE_CHUNK``, so a hub-heavy block never materializes its full
+    O(sum deg^2) wedge list at once — only the per-chunk slice plus
+    the block's edge frame is resident."""
     import numpy as np
     import pandas as pd
 
     e = pdf[["u", "v", "cu", "cv"]]
-    # wedge u->v->w then close u->w: the same two equi-joins as the
-    # global plan, but block-local in one task's memory
+    close = e.rename(columns={"v": "w"})[["u", "w"]]
     mid = e.rename(columns={"u": "v", "v": "w", "cu": "cv", "cv": "cw"})
-    wedges = e.merge(mid, on="v", how="inner")
-    closed = wedges.merge(
-        e.rename(columns={"v": "w"})[["u", "w"]], on=["u", "w"], how="inner"
-    )
-    if len(closed) == 0:
+
+    # wedges through mid m = indeg(m) * outdeg(m); pack mids greedily
+    indeg = e.groupby("v").size()
+    outdeg = e.groupby("u").size()
+    wpm = (indeg * outdeg.reindex(indeg.index).fillna(0)).astype(np.int64)
+    wpm = wpm[wpm > 0]
+    if len(wpm) == 0:
         return pd.DataFrame({"c1": [0], "c2": [0], "c3": [0]})
-    cu = closed["cu"].to_numpy()
-    cv = closed["cv_x"].to_numpy() if "cv_x" in closed else closed["cv"].to_numpy()
-    cw = closed["cw"].to_numpy()
-    pair_eq = (cu == cv).astype(np.int64) + (cv == cw) + (cu == cw)
-    # pair_eq: 0 -> 3 distinct clusters, 1 -> 2 distinct, 3 -> 1
-    c3 = int((pair_eq == 0).sum())
-    c2 = int((pair_eq == 1).sum())
-    c1 = int((pair_eq == 3).sum())
+    order = wpm.index.to_numpy()
+    cum = np.cumsum(wpm.to_numpy())
+    # chunk boundaries: every _WEDGE_CHUNK wedges (a single mid larger
+    # than the budget gets its own chunk — one hub's wedge list is the
+    # irreducible unit; still far below the whole block's sum)
+    chunk_ids = cum // _WEDGE_CHUNK
+
+    c1 = c2 = c3 = 0
+    for cid in np.unique(chunk_ids):
+        mids = order[chunk_ids == cid]
+        sel = pd.Index(mids)
+        wedges = e[e["v"].isin(sel)].merge(
+            mid[mid["v"].isin(sel)], on="v", how="inner"
+        )
+        closed = wedges.merge(close, on=["u", "w"], how="inner")
+        if len(closed) == 0:
+            continue
+        cu = closed["cu"].to_numpy()
+        cv = (
+            closed["cv_x"].to_numpy()
+            if "cv_x" in closed
+            else closed["cv"].to_numpy()
+        )
+        cw = closed["cw"].to_numpy()
+        pair_eq = (cu == cv).astype(np.int64) + (cv == cw) + (cu == cw)
+        # pair_eq: 0 -> 3 distinct clusters, 1 -> 2 distinct, 3 -> 1
+        c3 += int((pair_eq == 0).sum())
+        c2 += int((pair_eq == 1).sum())
+        c1 += int((pair_eq == 3).sum())
     return pd.DataFrame({"c1": [c1], "c2": [c2], "c3": [c3]})
 
 

@@ -3,10 +3,13 @@
 Media are opaque ``binary`` columns with typed metadata structs; all
 transforms are Arrow-batched ``mapInPandas`` passes so the Spark-side
 plumbing (schema, partitioning, batch shape, UDF signature) is real
-and tested. The codec step itself is STUBBED: the image/audio libs are
-not in this container, so decoding uses a deterministic fake (parses
-our own synthetic header) and raises ``NotImplementedError`` for real
-media unless a decoder is injected.
+and tested. ``decode_header`` dispatches on magic bytes: REAL formats
+PNG / JPEG / BMP / GIF / WAV are decoded with pure-stdlib parsers
+(``zlib`` + ``struct`` — no optional image/audio dependency needed for
+metadata, and PNG decodes all the way to pixels), while the synthetic
+``GMSM`` header stays the deterministic oracle path the DuckDB gate
+reproduces. Anything else still raises ``NotImplementedError`` (real
+video codecs need ffmpeg — inject a decoder).
 
 At 100 TB the pattern is: keep blobs in their own column family /
 parquet files (never shuffled with analytics columns), push metadata
@@ -18,8 +21,10 @@ from __future__ import annotations
 
 import hashlib
 import struct
+import zlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -85,15 +90,93 @@ def synthesize_assets(
     )
 
 
+# ------------------------------------------------------ real codecs
+# Pure-stdlib header (and, for PNG, pixel) decoders. Dimension/frame
+# semantics per kind: image → (width_px, height_px, 1); audio →
+# (sample_rate_hz, n_channels, n_sample_frames).
+
+
+def _decode_png(blob: bytes) -> tuple[str, int, int, int]:
+    # IHDR is always the first chunk: length(4) 'IHDR' w(4) h(4) ...
+    if blob[12:16] != b"IHDR":
+        raise ValueError("PNG missing IHDR")
+    w, h = struct.unpack_from(">II", blob, 16)
+    return "image", w, h, 1
+
+
+def _decode_jpeg(blob: bytes) -> tuple[str, int, int, int]:
+    # walk markers to the first SOFn frame header (height, width)
+    i = 2
+    while i + 9 <= len(blob):
+        if blob[i] != 0xFF:
+            i += 1
+            continue
+        marker = blob[i + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        seglen = struct.unpack_from(">H", blob, i + 2)[0]
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            h, w = struct.unpack_from(">HH", blob, i + 5)
+            return "image", w, h, 1
+        i += 2 + seglen
+    raise ValueError("JPEG missing SOF marker")
+
+
+def _decode_bmp(blob: bytes) -> tuple[str, int, int, int]:
+    w, h = struct.unpack_from("<ii", blob, 18)
+    return "image", w, abs(h), 1  # negative height = top-down rows
+
+
+def _decode_gif(blob: bytes) -> tuple[str, int, int, int]:
+    w, h = struct.unpack_from("<HH", blob, 6)
+    return "image", w, h, 1
+
+
+def _decode_wav(blob: bytes) -> tuple[str, int, int, int]:
+    # RIFF chunk walk: fmt → (channels, sample rate, block align);
+    # data → size; frames = data size / block align
+    if blob[8:12] != b"WAVE":
+        raise ValueError("RIFF is not WAVE")
+    pos, channels, rate, block_align, frames = 12, 0, 0, 0, 0
+    while pos + 8 <= len(blob):
+        cid, size = blob[pos : pos + 4], struct.unpack_from("<I", blob, pos + 4)[0]
+        if cid == b"fmt ":
+            channels, rate = struct.unpack_from("<HI", blob, pos + 10)
+            block_align = struct.unpack_from("<H", blob, pos + 20)[0]
+        elif cid == b"data" and block_align:
+            frames = size // block_align
+        pos += 8 + size + (size & 1)
+    return "audio", rate, channels, frames
+
+
+_CODECS = {
+    b"\x89PNG": _decode_png,
+    b"\xff\xd8": _decode_jpeg,
+    b"BM": _decode_bmp,
+    b"GIF8": _decode_gif,
+    b"RIFF": _decode_wav,
+}
+
+
 def decode_header(blob: bytes) -> tuple[str, int, int, int]:
-    """STUB decoder: real deployments plug ffmpeg/PIL here."""
-    if blob[:4] != _MAGIC:
-        raise NotImplementedError(
-            "real media decoding needs an image/audio codec not present "
-            "in this container; inject a decoder or use synthetic blobs"
-        )
-    _, kind, w, h, frames = _HDR.unpack_from(blob)
-    return KINDS.get(kind, "unknown"), w, h, frames
+    """Magic-dispatch decoder → ``(kind, width, height, n_frames)``.
+
+    Synthetic ``GMSM`` blobs are the deterministic oracle path; PNG /
+    JPEG / BMP / GIF / WAV decode for real via the stdlib parsers
+    above. Unknown formats raise — real deployments inject ffmpeg/PIL
+    for the long tail (the reference keeps media decoding external
+    too; this module owns the Spark plumbing)."""
+    if blob[:4] == _MAGIC:
+        _, kind, w, h, frames = _HDR.unpack_from(blob)
+        return KINDS.get(kind, "unknown"), w, h, frames
+    for magic, fn in _CODECS.items():
+        if blob[: len(magic)] == magic:
+            return fn(blob)
+    raise NotImplementedError(
+        "unrecognized media format; inject a decoder (ffmpeg/PIL) for "
+        "codecs beyond PNG/JPEG/BMP/GIF/WAV"
+    )
 
 
 def extract_media_meta(assets: DataFrame) -> DataFrame:
@@ -154,6 +237,164 @@ def frame_sample(assets: DataFrame, every_n: int = 2) -> DataFrame:
 
     return assets.select("asset_id", "media").mapInPandas(
         run, schema="asset_id long, frame_idx int"
+    )
+
+
+def synthesize_png_assets(docs: DataFrame) -> DataFrame:
+    """``documents`` → ``(asset_id, media)`` where media is a REAL PNG
+    (encoded by :func:`encode_png_gray`, decoded back by the real
+    codec path). Pixels are the closed form ``(31r + 17c + k) % 256``
+    with ``w = 8 + k%9, h = 8 + k%7`` so an independent SQL oracle can
+    derive pixel statistics without touching bytes — the real-codec
+    analogue of :func:`synthesize_assets`."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = [int(x) for x in pdf["doc_id"]]
+            blobs = []
+            for k in ids:
+                w, h = 8 + k % 9, 8 + k % 7
+                r = np.arange(h).reshape(-1, 1)
+                c = np.arange(w).reshape(1, -1)
+                blobs.append(
+                    encode_png_gray(((31 * r + 17 * c + k) % 256))
+                )
+            yield pd.DataFrame({"asset_id": ids, "media": blobs})
+
+    return docs.select("doc_id").mapInPandas(
+        run, schema="asset_id long, media binary"
+    )
+
+
+# ------------------------------------------- PNG pixels (pure stdlib)
+
+
+def encode_png_gray(pixels: "np.ndarray") -> bytes:
+    """Minimal 8-bit grayscale PNG encoder (zlib + crc32) — produces
+    REAL PNG bytes for tests and fixtures without Pillow."""
+    h, w = pixels.shape
+    raw = b"".join(
+        b"\x00" + pixels[r].astype(np.uint8).tobytes() for r in range(h)
+    )
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)  # gray, no interlace
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def encode_wav_pcm16(samples: "np.ndarray", rate: int = 16000) -> bytes:
+    """Minimal mono PCM16 WAV encoder — REAL RIFF bytes for tests."""
+    data = samples.astype("<i2").tobytes()
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def decode_png_gray(blob: bytes) -> "np.ndarray":
+    """Full 8-bit grayscale PNG decode: inflate IDAT, undo all five
+    scanline filters (None/Sub/Up/Average/Paeth) → (h, w) uint8."""
+    if blob[12:16] != b"IHDR":
+        raise ValueError("PNG missing IHDR")
+    w, h = struct.unpack_from(">II", blob, 16)
+    bit_depth, color_type = blob[24], blob[25]
+    if (bit_depth, color_type) != (8, 0):
+        raise NotImplementedError("pixel decode supports 8-bit grayscale")
+    idat, pos = [], 8
+    while pos + 8 <= len(blob):
+        size = struct.unpack_from(">I", blob, pos)[0]
+        tag = blob[pos + 4 : pos + 8]
+        if tag == b"IDAT":
+            idat.append(blob[pos + 8 : pos + 8 + size])
+        pos += 12 + size
+    raw = zlib.decompress(b"".join(idat))
+    out = np.zeros((h, w), dtype=np.int32)
+    stride = w + 1
+    for r in range(h):
+        line = raw[r * stride : (r + 1) * stride]
+        ftype, cur = line[0], np.frombuffer(line[1:], np.uint8).astype(np.int32)
+        up = out[r - 1] if r else np.zeros(w, np.int32)
+        if ftype == 0:
+            out[r] = cur
+        elif ftype == 2:  # Up
+            out[r] = (cur + up) & 0xFF
+        else:  # Sub / Average / Paeth need the running left pixel
+            left = 0
+            row = out[r]
+            for c in range(w):
+                ul = up[c - 1] if c else 0
+                if ftype == 1:
+                    pred = left
+                elif ftype == 3:
+                    pred = (left + up[c]) // 2
+                else:  # Paeth
+                    p = left + up[c] - ul
+                    pa, pb, pc = abs(p - left), abs(p - up[c]), abs(p - ul)
+                    pred = (
+                        left
+                        if pa <= pb and pa <= pc
+                        else (up[c] if pb <= pc else ul)
+                    )
+                left = row[c] = (cur[c] + pred) & 0xFF
+    return out.astype(np.uint8)
+
+
+def image_pixel_stats(assets: DataFrame) -> DataFrame:
+    """REAL decode-to-pixels feature extraction for PNG blobs → one row
+    per image ``(asset_id, width, height, px_mean_bp, px_nonzero)``
+    (mean gray level in basis points of 255 — integer-stable). Non-PNG
+    blobs pass through the header decoder only and are skipped. The
+    Arrow batch shape is identical to ``extract_media_meta`` — this is
+    the codec step that used to be stubbed, now real for PNG."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for aid, blob in zip(pdf["asset_id"], pdf["media"]):
+                b = bytes(blob)
+                if b[:4] != b"\x89PNG":
+                    continue
+                px = decode_png_gray(b)
+                # integer-stable: bp = sum * 10000 // (255 * n) — floor
+                # division an independent SQL oracle reproduces exactly
+                recs.append(
+                    (
+                        int(aid),
+                        px.shape[1],
+                        px.shape[0],
+                        int(px.sum()) * 10_000 // (255 * px.size),
+                        int((px > 0).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                recs,
+                columns=[
+                    "asset_id", "width", "height", "px_mean_bp", "px_nonzero",
+                ],
+            )
+
+    return assets.select("asset_id", "media").mapInPandas(
+        run,
+        schema="asset_id long, width int, height int, px_mean_bp int, "
+        "px_nonzero long",
     )
 
 

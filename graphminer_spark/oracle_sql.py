@@ -830,24 +830,69 @@ FROM ranked WHERE rank <= {k}
 """.strip()
 
 
-def ivf_ann_sql(k: int, n_centroids: int, n_probe: int) -> str:
-    """Mirrors similarity.ivf_ann (deterministic coarse cells = first
-    n_centroids vectors; assign = argmax rounded cosine, ties → cid)."""
-    return f"""
-WITH e AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS v FROM embeddings),
-c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {n_centroids}),
+def ivf_ann_sql(
+    k: int, n_centroids: int, n_probe: int, train_iters: int = 2
+) -> str:
+    """Mirrors similarity.ivf_ann with the TRAINED quantizer: unrolls
+    the same deterministic Lloyd's iterations over fixed-point vectors
+    (round(x*10^4) BIGINT; integer squared-L2 argmin, ties → cid;
+    floor(sum/count) update, empty cell keeps its centroid). All
+    arithmetic is exact (< 2^53), so cells match Spark bit-for-bit."""
+    scale = 10_000
+    # qd(a,b) = exact integer squared L2 via dot products (DOUBLE-exact)
+    def qd(a: str, b: str) -> str:
+        return (
+            f"(list_dot_product({a}, {a}) - 2*list_dot_product({a}, {b})"
+            f" + list_dot_product({b}, {b}))"
+        )
+
+    parts = [
+        f"""
+WITH e AS MATERIALIZED (
+  SELECT vec_id, cast(embedding AS DOUBLE[]) AS v,
+         list_transform(embedding,
+                        x -> round(x::DOUBLE * {scale})::BIGINT::DOUBLE)
+           AS qv
+  FROM embeddings),
+c0 AS (SELECT vec_id::INT AS cid, qv AS cv FROM e WHERE vec_id < {n_centroids})"""
+    ]
+    prev = "c0"
+    for i in range(1, train_iters + 1):
+        parts.append(
+            f"""
+a{i} AS MATERIALIZED (
+  SELECT vec_id, qv, cid FROM (
+    SELECT e.vec_id, e.qv, c.cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {qd('e.qv', 'c.cv')}, c.cid) AS r
+    FROM e, {prev} c) WHERE r = 1),
+s{i} AS (
+  SELECT cid, pos, floor(sum(val) / count(*)) AS m
+  FROM (SELECT cid, unnest(qv) AS val, generate_subscripts(qv, 1) AS pos
+        FROM a{i})
+  GROUP BY cid, pos),
+c{i} AS MATERIALIZED (
+  SELECT c.cid,
+         CASE WHEN count(s{i}.m) = 0 THEN first(c.cv)
+              ELSE list(s{i}.m ORDER BY s{i}.pos) END AS cv
+  FROM {prev} c LEFT JOIN s{i} USING (cid) GROUP BY c.cid)"""
+        )
+        prev = f"c{i}"
+    parts.append(
+        f"""
 ranked AS (
   SELECT e.vec_id, c.cid,
          row_number() OVER (
            PARTITION BY e.vec_id
-           ORDER BY round(list_dot_product(e.v, c.cv)
-                    / (sqrt(list_dot_product(e.v, e.v))
-                       * sqrt(list_dot_product(c.cv, c.cv))), 6) DESC, c.cid
-         ) AS r
-  FROM e, c
+           ORDER BY {qd('e.qv', 'c.cv')}, c.cid) AS r
+  FROM e, {prev} c
 ),
 assign AS (SELECT vec_id, cid FROM ranked WHERE r = 1),
-probes AS (SELECT vec_id AS query_id, cid FROM ranked WHERE r <= {n_probe}),
+probes AS (SELECT vec_id AS query_id, cid FROM ranked WHERE r <= {n_probe}),"""
+    )
+    head = ",".join(parts)
+    return f"""{head}
 cand AS (
   SELECT p.query_id, a.vec_id AS neighbor_id
   FROM probes p JOIN assign a ON a.cid = p.cid

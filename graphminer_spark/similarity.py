@@ -134,13 +134,101 @@ def lsh_ann(
     )
 
 
+IVF_SCALE = 10_000  # fixed-point quantization for exact k-means
+
+
+def _quantize(col: Column, scale: int = IVF_SCALE) -> Column:
+    """float embedding → fixed-point ``array<long>`` (HALF_UP round —
+    DuckDB's ``round`` matches Spark's)."""
+    return F.transform(
+        col, lambda x: F.round(x.cast("double") * scale).cast("long")
+    )
+
+
+def _l2sq_int(a: Column, b: Column) -> Column:
+    """Exact integer squared L2 distance between quantized vectors —
+    order-independent arithmetic, so Spark and DuckDB agree bitwise
+    (every partial sum < 2^53; the oracle computes the same value as
+    ``dot(a,a) - 2 dot(a,b) + dot(b,b)`` in doubles)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def train_ivf_centroids(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 2,
+    scale: int = IVF_SCALE,
+) -> DataFrame:
+    """Lloyd's k-means over FIXED-POINT vectors → ``(cid, cv)`` integer
+    centroid table.
+
+    Deterministic and engine-exact by construction: init = the first
+    ``n_centroids`` quantized vectors; assignment = integer squared-L2
+    argmin (ties → smaller cid); update = ``floor(sum/count)`` per
+    dimension (empty cell keeps its previous centroid). Every step is
+    exact integer / IEEE-double arithmetic with no order dependence,
+    so the DuckDB oracle unrolls the same iterations bit-for-bit. Each
+    round is the PR superstep shape: one broadcast join (assignment) +
+    one groupBy (update) over a posexploded frame — at 10^12 vectors
+    the assignment is a map-side pass and the update shuffles only
+    (n_centroids × dim) partial sums per partition."""
+    q = embeddings.select(
+        "vec_id", _quantize(F.col("embedding"), scale).alias("qv")
+    ).persist()
+    cents = q.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").cast("int").alias("cid"), F.col("qv").alias("cv")
+    ).localCheckpoint(eager=True)
+    for _ in range(iters):
+        assign = (
+            q.crossJoin(F.broadcast(cents))
+            .select(
+                "vec_id", "qv", "cid",
+                _l2sq_int(F.col("qv"), F.col("cv")).alias("d"),
+            )
+            .withColumn(
+                "r",
+                F.row_number().over(
+                    Window.partitionBy("vec_id").orderBy("d", "cid")
+                ),
+            )
+            .filter(F.col("r") == 1)
+        )
+        sums = (
+            assign.select("cid", F.posexplode("qv").alias("pos", "val"))
+            .groupBy("cid", "pos")
+            .agg(F.sum("val").alias("s"), F.count("*").alias("c"))
+            .withColumn("m", F.floor(F.col("s") / F.col("c")))
+            .groupBy("cid")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "m"))
+                ).alias("pm")
+            )
+            .select(
+                "cid", F.transform("pm", lambda x: x["m"]).alias("nv")
+            )
+        )
+        cents = (
+            cents.join(sums, "cid", "left")
+            .select("cid", F.coalesce("nv", "cv").alias("cv"))
+            .localCheckpoint(eager=True)  # n_centroids rows
+        )
+    q.unpersist()
+    return cents
+
+
 def ivf_ann(
     embeddings: DataFrame,
     k: int = 5,
     n_centroids: int = 16,
     n_probe: int = 4,
+    train_iters: int = 2,
 ) -> DataFrame:
-    """IVF-style approximate top-k neighbors →
+    """IVF approximate top-k neighbors →
     ``(query_id, neighbor_id, rank, sim_s)``.
 
     The second ANN strategy next to ``lsh_ann`` (the reference-style
@@ -151,24 +239,26 @@ def ivf_ann(
     inverted lists shard naturally across executors, which is the
     10^12-vector layout (one shuffle by cell id, cells ≈ balanced).
 
-    The coarse quantizer here is deterministic — the first
-    ``n_centroids`` vectors stand in for k-means centroids so the
-    DuckDB oracle can replicate it exactly; swapping in trained
-    centroids changes recall, not the plumbing this verifies.
-    """
-    cents = embeddings.filter(F.col("vec_id") < n_centroids).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    The coarse quantizer is a TRAINED deterministic k-means
+    (:func:`train_ivf_centroids`; ``train_iters=0`` falls back to the
+    first-``n_centroids`` init) over fixed-point vectors, so the
+    DuckDB oracle replicates cells exactly while recall reflects real
+    Lloyd's iterations, not an arbitrary slice of the corpus."""
+    q = embeddings.select(
+        "vec_id", _quantize(F.col("embedding")).alias("qv")
     )
-    sim_c = F.round(cosine(F.col("embedding"), F.col("cvec")), 6)
+    cents = train_ivf_centroids(
+        embeddings, n_centroids=n_centroids, iters=train_iters
+    )
     ranked = (
-        embeddings.crossJoin(F.broadcast(cents))
-        .select("vec_id", "cid", sim_c.alias("csim"))
+        q.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id", "cid", _l2sq_int(F.col("qv"), F.col("cv")).alias("d")
+        )
         .withColumn(
             "r",
             F.row_number().over(
-                Window.partitionBy("vec_id").orderBy(
-                    F.col("csim").desc(), F.col("cid")
-                )
+                Window.partitionBy("vec_id").orderBy("d", "cid")
             ),
         )
     )

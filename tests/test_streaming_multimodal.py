@@ -127,13 +127,25 @@ def test_synthesize_assets_dup_groups(spark):
     assert out == {i: 3 for i in range(10)}
 
 
-def test_real_media_raises(spark):
-    df = spark.createDataFrame(
-        [(9, b"\x89PNG\r\n\x1a\nrealpngbytes")], "asset_id long, media binary"
-    )
-    with pytest.raises(Exception) as ei:
-        extract_media_meta(df).collect()
-    assert "NotImplementedError" in str(ei.value) or "codec" in str(ei.value)
+def test_unknown_and_corrupt_media_raise(spark):
+    """Since round 5, real PNG/JPEG/BMP/GIF/WAV decode for real — so a
+    PNG signature followed by garbage is a CORRUPT file (must raise,
+    not return junk meta), and a format no decoder claims still raises
+    NotImplementedError."""
+    for blob in (
+        b"\x89PNG\r\n\x1a\nrealpngbytes",  # valid signature, corrupt body
+        b"\x00\x01\x02 no codec owns this",  # unknown format
+    ):
+        df = spark.createDataFrame(
+            [(9, bytearray(blob))], "asset_id long, media binary"
+        )
+        with pytest.raises(Exception) as ei:
+            extract_media_meta(df).collect()
+        assert (
+            "NotImplementedError" in str(ei.value)
+            or "codec" in str(ei.value)
+            or "Error" in str(ei.value)
+        )
 
 
 def test_stateful_session_stream(spark, tmp_path):
