@@ -761,6 +761,18 @@ def _q_rw_sample(spark, sf_dir):
     )
 
 
+def _q_ff_sample(spark, sf_dir):
+    # deterministic forest-fire sampler (the other KDD'06 sampler):
+    # md5-gated burn spread, frontier anti-join per round — burned
+    # vertices (v, burn_round)
+    from graphminer_spark.graph.sampling import forest_fire_sample
+
+    edges = tpch_edges(spark, sf_dir, divisor=6, scramble=True)
+    return forest_fire_sample(
+        symmetrize(edges, dedup=False), n_rounds=3, burn_bp=4000, seed_mod=50
+    )
+
+
 def _q_tc_2d(spark, sf_dir):
     # 2D cluster-triple blocks (graph_partition.cc:138-226 analogue);
     # exact, agreement-tested against tc_total's wedge-join plan
@@ -942,6 +954,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "olap_top_parts": _q_top_parts,
         # ---------------- past the 50-entry driver cap ----------------
         "tc_total_2d": _q_tc_2d,
+        "graph_ff_sample": _q_ff_sample,
         "ppr_5iter": _q_ppr5,
         "graph_assortativity": _q_assortativity,
         "clique4_total": _q_clique4,
@@ -1010,6 +1023,16 @@ def _rw_sample_sql() -> str:
     )
 
 
+def _ff_sample_sql() -> str:
+    from graphminer_spark.graph.sampling import forest_fire_sql
+
+    return graph_query(
+        forest_fire_sql(n_rounds=3, burn_bp=4000, seed_mod=50),
+        divisor=6,
+        scramble=True,
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "graph_edges": graph_query("SELECT src, dst FROM edges"),
@@ -1059,6 +1082,7 @@ def oracle_sql() -> dict[str, str]:
         "path4_colorful_dp": _path4_colorful_dp_sql(),
         "path4_colorful_dp_r3": _path4_colorful_dp_r3_sql(),
         "graph_rw_sample": _rw_sample_sql(),
+        "graph_ff_sample": _ff_sample_sql(),
         "tree_chair_colorful": _tree_chair_colorful_sql(),
         "temporal_tri_count": temporal_tri_sql(TEMPORAL_DELTA),
         "dyn_tri_delta": graph_query(

@@ -233,16 +233,65 @@ def main() -> None:
         ).collect(),
         extra=True,
     )
-    from graphminer_spark.graph.partition2d import triangle_count_2d  # noqa: E402
-
-    # 2D block-local path: nc sized so C(nc,3) triples >= cores and a
-    # triple's edges fit one task (nc=4 at this scale makes only 4
-    # fat tasks — measured 10x slower; the knob matters, record it)
+    # R=3 salted-coloring replication of the same DP — the estimator
+    # family's variance/CI evidence (VERDICT r04 ask #5): three exact
+    # per-coloring rows in ONE plan, ~3x the single-coloring state
     timed(
-        "tc_total_2d_nc8",
-        lambda: triangle_count_2d(dag, nc=8).collect(),
+        "path4_colorful_dp_r3_dense",
+        lambda: colorful_path_count_dp(
+            sparse_sym, k=4, n_colorings=3, per_coloring=True
+        ).collect(),
         extra=True,
     )
+    from graphminer_spark.graph.partition2d import (  # noqa: E402
+        auto_nc,
+        triangle_count_2d,
+    )
+
+    # 2D block-local path with the AUTO-PICKED nc (r05; the knob's
+    # two constraints are codified in auto_nc — nc=4 at this scale made
+    # 4 fat tasks, measured 10x slower than nc=8; auto_nc picks 9 here)
+    nc_auto = auto_nc(n_edges, cpus)
+    extras["tc_2d_nc_auto"] = nc_auto
+    timed(
+        "tc_total_2d_auto",
+        lambda: triangle_count_2d(dag, nc=nc_auto).collect(),
+        extra=True,
+    )
+    from graphminer_spark.algorithms.fsm_general import (  # noqa: E402
+        fsm_kedge_support,
+    )
+
+    # general-k gSpan frontier at k=4 on the sf0.1 scramble graph —
+    # the depth-hardened miner (driver-built structure maps + canonical
+    # -parent extension; the r04 dropDuplicates miner measured 1.8x
+    # slower on this exact config). Level-row counts ship as extras so
+    # frontier growth is visible round-over-round.
+    fsm_stats: dict[str, int] = {}
+
+    def _fsm4():
+        scr_sym = symmetrize(
+            tpch_edges(spark, sf_dir, divisor=1, scramble=True, sample_mod=2),
+            dedup=False,
+        ).persist()
+        m_scr = scr_sym.count()
+        from graphminer_spark.graph.labels import with_synthetic_labels
+
+        fsm_stats.clear()
+        n = fsm_kedge_support(
+            scr_sym,
+            with_synthetic_labels(degrees(scr_sym).select("id")),
+            k=4,
+            minsup=max(3, m_scr // 3000),
+            stats=fsm_stats,
+        ).count()
+        scr_sym.unpersist()
+        return n
+
+    extras["fsm_4edge_frequent"] = int(
+        timed("fsm_4edge_scramble", _fsm4, extra=True)
+    )
+    extras["fsm_level_rows"] = dict(fsm_stats)
     srcs = verts.filter(F.col("id") % 50 == 0)
     timed(
         "ppr_5iter",

@@ -50,6 +50,11 @@ MNI domains commute into NLF counts — hub-safe), the general-k loop is
 embedding-bound by nature: level cost = O(#occurrences), the same
 asymptotics as the reference's DFS enumeration. Use it for depth
 (k ≥ 4); the closed-form kernels remain the scale path for k ≤ 3.
+Measured vs the r04 dropDuplicates miner on the sf0.1 scramble graph
+(alternating-order best-of protocol, BENCH/BASELINE.md round-5 notes):
+1.08× at k=4, 1.56× at k=5 (103 s for the full k=5 mine over a 7.9M-
+embedding top level) — the gap grows with k because the old dedup
+shuffle moved ~(k+1)× the surviving rows.
 """
 
 from __future__ import annotations

@@ -45,6 +45,50 @@ def triangle_count(dag: DataFrame) -> DataFrame:
     return enumerate_triangles(dag).agg(F.count("*").alias("n_triangles"))
 
 
+# conf keys + forced values for skew_split; module-level so restore
+# logic and tests agree on the exact set
+_SKEW_FORCE_CONF = {
+    "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+    "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1",
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+}
+
+
+def forced_skew_split(spark):
+    """Context manager forcing AQE to split EVERY hot shuffle partition
+    (split factor 1, 16 KB threshold) for the duration.
+
+    Measured on the 8M-edge TC protocol graph (BENCH/tc_ab.json,
+    round-5): the default skew thresholds leave the hot wedge
+    partitions whole at that shuffle size; forcing the split made the
+    wedge plan the fastest 4-executor strategy (42.4 s vs 46.6 s) and
+    lifted TC scaling efficiency 0.78 → 0.86 (the ≥0.8 north-rule
+    bar). NOT the default because at toy scale (sf0.1) the extra
+    splits are pure scheduling overhead; wrap large-graph TC/motif
+    calls explicitly. Restores prior conf values on exit."""
+    from contextlib import contextmanager
+
+    @contextmanager
+    def _ctx():
+        old = {}
+        for k, v in _SKEW_FORCE_CONF.items():
+            try:
+                old[k] = spark.conf.get(k)
+            except Exception:
+                old[k] = None
+            spark.conf.set(k, v)
+        try:
+            yield
+        finally:
+            for k, prev in old.items():
+                if prev is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, prev)
+
+    return _ctx()
+
+
 def sample_edges_deterministic(
     canonical_edges: DataFrame, keep_below: str = "4"
 ) -> DataFrame:

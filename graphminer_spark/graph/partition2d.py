@@ -185,14 +185,64 @@ def _count_block(pdf):
     return pd.DataFrame({"c1": [c1], "c2": [c2], "c3": [c3]})
 
 
-def triangle_count_2d(dag: DataFrame, nc: int = 4) -> DataFrame:
+# auto_nc's per-triple edge-volume target: one triple's edge frame
+# (3 int64 columns in pandas, so ~24 B/row plus index) stays well
+# under a few hundred MB of task memory while tasks remain coarse
+# enough that scheduling overhead does not dominate
+_TARGET_BLOCK_EDGES = 2_000_000
+
+
+def auto_nc(
+    n_edges: int,
+    parallelism: int,
+    target_block_edges: int = _TARGET_BLOCK_EDGES,
+    nc_max: int = 64,
+) -> int:
+    """Pick the cluster count for :func:`triangle_count_2d` from the
+    two constraints the knob actually trades off (measured in
+    BENCH/BASELINE.md — nc=4 at sf0.1 made 4 fat tasks, 10x slower
+    than nc=8):
+
+    * MEMORY: expected edges per triple ≈ 6|E|/nc², so
+      nc ≥ sqrt(6|E| / target_block_edges) keeps a triple's edge frame
+      inside one task's budget. This is an EXPECTATION under the
+      xxhash64 cluster assignment; per-block skew is bounded by the
+      hash's balance, and the wedge kernel itself is chunked, so a hot
+      block degrades to more chunks, not OOM.
+    * PARALLELISM: C(nc,3) ≥ 2·parallelism so every core gets
+      independent triples and stragglers can be rebalanced.
+
+    Replication cost grows as ~nc·|E| rows shuffled, so take the
+    SMALLEST nc satisfying both, capped at ``nc_max`` (C(64,3) ≈ 42k
+    triples — beyond that task-launch overhead outruns the memory win;
+    at 10^12 edges the target-block bound picks nc≈55, still under
+    the cap)."""
+    nc = 3
+    while nc < nc_max and 6 * n_edges > target_block_edges * nc * nc:
+        nc += 1
+    while nc < nc_max and nc * (nc - 1) * (nc - 2) < 12 * parallelism:
+        nc += 1
+    return nc
+
+
+def triangle_count_2d(
+    dag: DataFrame, nc: int | None = 4, n_edges: int | None = None
+) -> DataFrame:
     """Exact total triangle count via 2D cluster-triple blocks.
 
     Same answer as ``triangles.triangle_count`` (agreement-tested);
     different physical strategy: block-replicate + block-local kernel
     instead of a global wedge shuffle. One row ``(n_triangles: long)``.
+
+    ``nc=None`` auto-picks the cluster count via :func:`auto_nc` from
+    ``n_edges`` (pass it when known — pipelines usually just counted
+    the DAG — otherwise one extra ``count()`` action runs here).
     """
     spark = dag.sparkSession
+    if nc is None:
+        if n_edges is None:
+            n_edges = dag.count()
+        nc = auto_nc(n_edges, spark.sparkContext.defaultParallelism)
     tagged = assign_clusters(dag.select("src", "dst"), nc).select(
         F.col("src").alias("u"),
         F.col("dst").alias("v"),

@@ -152,3 +152,42 @@ def forest_fire_sample(
         burned = burned.unionAll(spread).localCheckpoint(eager=True)
         frontier = spread.select("v")
     return burned
+
+
+def forest_fire_sql(
+    n_rounds: int = 3, burn_bp: int = 4000, seed_mod: int = 50
+) -> str:
+    """DuckDB body (over the shared ``sym`` CTE) mirroring
+    :func:`forest_fire_sample` exactly — seeds, then ``n_rounds``
+    unrolled spread/anti-join/accumulate steps."""
+
+    def h(key: str) -> str:
+        return f"(('0x' || substr(md5({key}), 1, 8))::BIGINT)"
+
+    ctes = [
+        f"b0 AS (SELECT v, 0 AS burn_round FROM "
+        f"(SELECT DISTINCT src AS v FROM sym) "
+        f"WHERE {h('v::VARCHAR')} % {seed_mod} = 0)",
+        "f0 AS (SELECT v FROM b0)",
+    ]
+    for r in range(1, n_rounds + 1):
+        key = (
+            f"e.src::VARCHAR || ':' || e.dst::VARCHAR || ':' || '{r}'"
+        )
+        ctes.append(
+            f"s{r} AS (SELECT DISTINCT e.dst AS v FROM f{r - 1} f "
+            f"JOIN sym e ON e.src = f.v "
+            f"WHERE {h(key)} % 10000 < {burn_bp})"
+        )
+        ctes.append(
+            f"n{r} AS (SELECT s.v, {r} AS burn_round FROM s{r} s "
+            f"WHERE s.v NOT IN (SELECT v FROM b{r - 1}))"
+        )
+        ctes.append(
+            f"b{r} AS (SELECT * FROM b{r - 1} UNION ALL SELECT * FROM n{r})"
+        )
+        ctes.append(f"f{r} AS (SELECT v FROM n{r})")
+    return (
+        f"SELECT v, burn_round::INT AS burn_round FROM "
+        f"(WITH {', '.join(ctes)} SELECT * FROM b{n_rounds}) t"
+    )

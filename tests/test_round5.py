@@ -269,3 +269,58 @@ def test_tc2d_chunked_wedge_kernel(spark, monkeypatch):
     exact = triangle_count(dag).collect()[0][0]
     monkeypatch.setattr(p2, "_WEDGE_CHUNK", 16)
     assert p2.triangle_count_2d(dag, nc=3).collect()[0][0] == exact
+
+
+def test_auto_nc_constraints_and_agreement(spark):
+    """nc auto-pick: both constraints hold at representative scales,
+    and triangle_count_2d(nc=None) agrees with the explicit-nc path."""
+    import random
+
+    from graphminer_spark.graph.partition2d import auto_nc, triangle_count_2d
+    from tests.conftest import edges_df
+    from graphminer_spark.algorithms.triangles import triangle_count
+    from graphminer_spark.graph.build import build_dag, symmetrize
+
+    for n_edges in (10_000, 600_000, 48_000_000, 10**12):
+        for par in (8, 32, 1000):
+            nc = auto_nc(n_edges, par)
+            assert 3 <= nc <= 64
+            # memory bound (unless capped), parallelism bound (ditto)
+            if nc < 64:
+                assert 6 * n_edges <= 2_000_000 * nc * nc
+                assert nc * (nc - 1) * (nc - 2) >= 12 * par
+    # monotone in |E|: more edges never picks a smaller nc
+    ncs = [auto_nc(m, 32) for m in (10**4, 10**6, 10**8, 10**10)]
+    assert ncs == sorted(ncs)
+
+    rng = random.Random(11)
+    edges = {(rng.randrange(40), rng.randrange(40)) for _ in range(200)}
+    dag = build_dag(symmetrize(edges_df(spark, edges), dedup=False))
+    exact = triangle_count(dag).collect()[0][0]
+    assert triangle_count_2d(dag, nc=None).collect()[0][0] == exact
+
+
+def test_forced_skew_split_restores_conf(spark):
+    """The skew-split context forces its three confs inside and
+    restores the prior state (set or unset) on exit, even on error."""
+    from graphminer_spark.algorithms.triangles import (
+        _SKEW_FORCE_CONF,
+        forced_skew_split,
+    )
+
+    key = "spark.sql.adaptive.forceOptimizeSkewedJoin"
+    spark.conf.set(key, "false")  # pre-existing value must come back
+    before = {k: spark.conf.get(k) for k in _SKEW_FORCE_CONF}
+    with forced_skew_split(spark):
+        for k, v in _SKEW_FORCE_CONF.items():
+            assert spark.conf.get(k) == v
+    assert {k: spark.conf.get(k) for k in _SKEW_FORCE_CONF} == before
+    spark.conf.unset(key)
+    # restore must also run on error paths (finally semantics)
+    try:
+        with forced_skew_split(spark):
+            raise RuntimeError("boom")
+    except RuntimeError:
+        pass
+    for k in _SKEW_FORCE_CONF:
+        assert spark.conf.get(k) != _SKEW_FORCE_CONF[k] or k == key
