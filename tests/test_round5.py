@@ -288,7 +288,7 @@ def test_auto_nc_constraints_and_agreement(spark):
             # memory bound (unless capped), parallelism bound (ditto)
             if nc < 64:
                 assert 6 * n_edges <= 2_000_000 * nc * nc
-                assert nc * (nc - 1) * (nc - 2) >= 12 * par
+                assert nc * (nc - 1) * (nc - 2) >= 24 * par
     # monotone in |E|: more edges never picks a smaller nc
     ncs = [auto_nc(m, 32) for m in (10**4, 10**6, 10**8, 10**10)]
     assert ncs == sorted(ncs)
@@ -324,3 +324,37 @@ def test_forced_skew_split_restores_conf(spark):
         pass
     for k in _SKEW_FORCE_CONF:
         assert spark.conf.get(k) != _SKEW_FORCE_CONF[k] or k == key
+
+
+def test_wav_decode_to_samples_round_trip():
+    """REAL audio codec path: PCM16 samples encode → RIFF bytes →
+    decode back bit-exact, including negative values and odd counts."""
+    from graphminer_spark.multimodal import decode_wav_pcm16, encode_wav_pcm16
+
+    s = (((37 * 5 + 11 * np.arange(77)) % 4001) - 2000).astype(np.int16)
+    rate, got = decode_wav_pcm16(encode_wav_pcm16(s, rate=12000))
+    assert rate == 12000
+    np.testing.assert_array_equal(got, s)
+
+
+def test_audio_sample_stats_matches_numpy(spark):
+    from graphminer_spark.multimodal import (
+        audio_sample_stats,
+        synthesize_wav_assets,
+    )
+
+    docs = spark.createDataFrame([(k,) for k in range(30)], "doc_id long")
+    got = {
+        r["asset_id"]: r
+        for r in audio_sample_stats(synthesize_wav_assets(docs)).collect()
+    }
+    assert len(got) == 30
+    for k in (0, 3, 29):
+        n = 64 + k % 41
+        s = ((37 * k + 11 * np.arange(n, dtype=np.int64)) % 4001) - 2000
+        r = got[k]
+        assert r["sample_rate"] == 8000 + (k % 3) * 4000
+        assert r["n_samples"] == n
+        assert r["sum_abs"] == int(np.abs(s).sum())
+        assert r["max_abs"] == int(np.abs(s).max())
+        assert r["n_positive"] == int((s > 0).sum())
