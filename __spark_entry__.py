@@ -136,6 +136,7 @@ from graphminer_spark.oracle_sql import (
     bfs_sql,
     coreness_hindex_sql,
     ivf_ann_sql,
+    semdedup_sql,
     kcore_sql,
     lsh_ann_sql,
 )
@@ -144,6 +145,7 @@ from graphminer_spark.similarity import (
     ivf_ann,
     knn_bruteforce,
     lsh_ann,
+    semantic_dedup,
 )
 from graphminer_spark.streaming.events import (
     funnel_counts,
@@ -684,6 +686,16 @@ def _q_ivf_ann(spark, sf_dir):
     return ivf_ann(_embs(spark, sf_dir), k=KNN_K, n_centroids=16, n_probe=4)
 
 
+def _q_semdedup(spark, sf_dir):
+    # SemDeDup (arXiv:2303.09540) over the trained k-means cells;
+    # τ=0.35 picked like emb_neardup's so the synthetic corpus (cosine
+    # max ≈ 0.51) yields non-trivial drops — production would use
+    # real embeddings and τ≈0.95
+    return semantic_dedup(
+        _embs(spark, sf_dir), n_clusters=8, tau=0.35, train_iters=2
+    )
+
+
 def _q_emb_neardup(spark, sf_dir):
     # 4 planes / τ=0.25 picked so the demo corpus yields non-trivial
     # output (sf0.01 cosine max ≈ 0.51); production near-dup would use
@@ -958,7 +970,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_token_count": _q_token_count,
         "emb_knn": _q_knn,
         "emb_ivf_ann": _q_ivf_ann,
-        "emb_neardup": _q_emb_neardup,
+        # --- SemDeDup semantic dedup over trained cells (new) ---
+        "emb_semdedup": _q_semdedup,
         # --- multimodal: REAL PNG decode-to-pixels + REAL WAV
         # decode-to-samples (new components this round) ---
         "mm_png_pixel_stats": _q_mm_png_stats,
@@ -1000,6 +1013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_lsh_ann": _q_lsh_ann,
         "mm_media_meta": _q_mm_meta,
         "docs_jaccard_pairs": _q_jaccard_pairs,
+        "emb_neardup": _q_emb_neardup,
         "mm_frame_sample": _q_mm_frames,
         "mm_asset_dedup": _q_mm_dedup,
         "ev_windowed_counts": _q_ev_windows,
@@ -1313,6 +1327,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_knn": knn_sql(KNN_K, KNN_QUERIES),
         "emb_lsh_ann": lsh_ann_sql(KNN_K, 4, EMB_DIM),
         "emb_ivf_ann": ivf_ann_sql(KNN_K, 16, 4),
+        "emb_semdedup": semdedup_sql(8, 0.35),
         "emb_neardup": emb_neardup_sql(0.25, 4, EMB_DIM),
         "olap_revenue_rollup": """
             SELECT l_returnflag, l_linestatus,

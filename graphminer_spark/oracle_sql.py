@@ -830,21 +830,25 @@ FROM ranked WHERE rank <= {k}
 """.strip()
 
 
-def ivf_ann_sql(
-    k: int, n_centroids: int, n_probe: int, train_iters: int = 2
-) -> str:
-    """Mirrors similarity.ivf_ann with the TRAINED quantizer: unrolls
-    the same deterministic Lloyd's iterations over fixed-point vectors
-    (round(x*10^4) BIGINT; integer squared-L2 argmin, ties → cid;
-    floor(sum/count) update, empty cell keeps its centroid). All
-    arithmetic is exact (< 2^53), so cells match Spark bit-for-bit."""
+def _qd(a: str, b: str) -> str:
+    # exact integer squared L2 via dot products (DOUBLE-exact < 2^53)
+    return (
+        f"(list_dot_product({a}, {a}) - 2*list_dot_product({a}, {b})"
+        f" + list_dot_product({b}, {b}))"
+    )
+
+
+def _kmeans_ranked_head(n_centroids: int, train_iters: int) -> str:
+    """Shared k-means replay prefix for the embedding oracles: unrolls
+    the deterministic Lloyd's iterations of
+    ``similarity.train_ivf_centroids`` (round(x*10^4) BIGINT
+    fixed-point; integer squared-L2 argmin, ties → cid;
+    floor(sum/count) update, empty cell keeps its centroid — all
+    arithmetic exact, so cells match Spark bit-for-bit) and ends with
+    a ``ranked(vec_id, cid, d, r)`` CTE against the trained centroids.
+    Callers append their own tail CTEs (comma-continue)."""
     scale = 10_000
-    # qd(a,b) = exact integer squared L2 via dot products (DOUBLE-exact)
-    def qd(a: str, b: str) -> str:
-        return (
-            f"(list_dot_product({a}, {a}) - 2*list_dot_product({a}, {b})"
-            f" + list_dot_product({b}, {b}))"
-        )
+    qd = _qd
 
     parts = [
         f"""
@@ -882,17 +886,25 @@ c{i} AS MATERIALIZED (
     parts.append(
         f"""
 ranked AS (
-  SELECT e.vec_id, c.cid,
+  SELECT e.vec_id, c.cid, {qd('e.qv', 'c.cv')} AS d,
          row_number() OVER (
            PARTITION BY e.vec_id
            ORDER BY {qd('e.qv', 'c.cv')}, c.cid) AS r
   FROM e, {prev} c
-),
-assign AS (SELECT vec_id, cid FROM ranked WHERE r = 1),
-probes AS (SELECT vec_id AS query_id, cid FROM ranked WHERE r <= {n_probe}),"""
+)"""
     )
-    head = ",".join(parts)
-    return f"""{head}
+    return ",".join(parts)
+
+
+def ivf_ann_sql(
+    k: int, n_centroids: int, n_probe: int, train_iters: int = 2
+) -> str:
+    """Mirrors similarity.ivf_ann with the TRAINED quantizer (replay
+    head: :func:`_kmeans_ranked_head`)."""
+    head = _kmeans_ranked_head(n_centroids, train_iters)
+    return f"""{head},
+assign AS (SELECT vec_id, cid FROM ranked WHERE r = 1),
+probes AS (SELECT vec_id AS query_id, cid FROM ranked WHERE r <= {n_probe}),
 cand AS (
   SELECT p.query_id, a.vec_id AS neighbor_id
   FROM probes p JOIN assign a ON a.cid = p.cid
@@ -915,6 +927,35 @@ rr AS (
 )
 SELECT query_id, neighbor_id, rank::INT AS rank, printf('%.6f', sim) AS sim_s
 FROM rr WHERE rank <= {k}
+""".strip()
+
+
+def semdedup_sql(
+    n_clusters: int, tau: float, train_iters: int = 2
+) -> str:
+    """Mirrors similarity.semantic_dedup: trained k-means cells
+    (shared replay head), NeMo-Curator greedy order within each cell
+    (distance-to-centroid ASC, ties → vec_id), drop when max cosine to
+    any earlier-ranked cell member rounds to ≥ tau."""
+    head = _kmeans_ranked_head(n_clusters, train_iters)
+    return f"""{head},
+assign AS (SELECT vec_id, cid, d FROM ranked WHERE r = 1),
+ordr AS MATERIALIZED (
+  SELECT vec_id, cid,
+         row_number() OVER (PARTITION BY cid ORDER BY d, vec_id) AS rnk
+  FROM assign),
+ms AS (
+  SELECT b.vec_id,
+         max(round(list_dot_product(ea.v, eb.v)
+                   / (sqrt(list_dot_product(ea.v, ea.v))
+                      * sqrt(list_dot_product(eb.v, eb.v))), 6)) AS msim
+  FROM ordr a JOIN ordr b ON a.cid = b.cid AND a.rnk < b.rnk
+  JOIN e ea ON ea.vec_id = a.vec_id
+  JOIN e eb ON eb.vec_id = b.vec_id
+  GROUP BY b.vec_id)
+SELECT o.vec_id, o.cid::INT AS cid,
+       (CASE WHEN ms.msim >= {tau} THEN 0 ELSE 1 END)::INT AS keep
+FROM ordr o LEFT JOIN ms USING (vec_id)
 """.strip()
 
 

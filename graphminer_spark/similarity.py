@@ -321,3 +321,93 @@ def embedding_neardup(
         .select("a", "b", F.format_string("%.6f", F.col("sim")).alias("sim_s"))
         .distinct()
     )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    n_clusters: int = 8,
+    tau: float = 0.95,
+    train_iters: int = 2,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540) → one row per vector ``(vec_id, cid, keep)``.
+
+    Pipeline: (1) cluster with the deterministic fixed-point Lloyd's
+    k-means (:func:`train_ivf_centroids` — the SQL oracle replays it
+    bit-for-bit); (2) within each cluster, rank members by distance to
+    their centroid (closest first, ties by id) — the NeMo-Curator
+    greedy order; (3) a member is DROPPED (``keep=0``) when its cosine
+    similarity to any earlier-ranked member of the same cluster is
+    ≥ ``tau``, so exactly one representative of every near-duplicate
+    chain survives and it is the most central one.
+
+    Scale shape: the only quadratic step is the within-cluster pair
+    join, O(Σ n_c²); at 10^12 vectors ``n_clusters`` is chosen so
+    clusters stay bounded (SemDeDup's premise — near-dups co-cluster,
+    so the threshold never needs cross-cluster pairs). The pair join
+    shuffles by ``cid`` only; everything else is the broadcast-join +
+    groupBy k-means superstep machinery shared with :func:`ivf_ann`.
+    """
+    cents = train_ivf_centroids(
+        embeddings, n_centroids=n_clusters, iters=train_iters
+    )
+    q = embeddings.select(
+        "vec_id", _quantize(F.col("embedding")).alias("qv")
+    )
+    assign = (
+        q.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id", "cid", _l2sq_int(F.col("qv"), F.col("cv")).alias("d")
+        )
+        .withColumn(
+            "r",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy("d", "cid")
+            ),
+        )
+        .filter(F.col("r") == 1)
+        .select("vec_id", "cid", "d")
+    )
+    ordr = assign.withColumn(
+        "rnk",
+        F.row_number().over(Window.partitionBy("cid").orderBy("d", "vec_id")),
+    )
+    e = embeddings.select("vec_id", "embedding")
+    a = (
+        ordr.join(e, "vec_id")
+        .select(
+            "cid",
+            F.col("rnk").alias("rnk_a"),
+            F.col("embedding").alias("ea"),
+        )
+    )
+    b = (
+        ordr.join(e, "vec_id")
+        .select(
+            "cid",
+            F.col("vec_id").alias("vb"),
+            F.col("rnk").alias("rnk_b"),
+            F.col("embedding").alias("eb"),
+        )
+    )
+    msim = (
+        a.join(b, "cid")
+        .filter(F.col("rnk_a") < F.col("rnk_b"))
+        .select(
+            F.col("vb").alias("vec_id"),
+            F.round(cosine(F.col("ea"), F.col("eb")), 6).alias("sim"),
+        )
+        .groupBy("vec_id")
+        .agg(F.max("sim").alias("msim"))
+    )
+    return (
+        ordr.join(msim, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("cid").cast("int").alias("cid"),
+            F.when(F.col("msim") >= tau, F.lit(0))
+            .otherwise(F.lit(1))
+            .cast("int")
+            .alias("keep"),
+        )
+    )

@@ -358,3 +358,74 @@ def test_audio_sample_stats_matches_numpy(spark):
         assert r["sum_abs"] == int(np.abs(s).sum())
         assert r["max_abs"] == int(np.abs(s).max())
         assert r["n_positive"] == int((s > 0).sum())
+
+
+# ------------------------------------------- SemDeDup semantic dedup
+
+
+def test_semantic_dedup_matches_numpy_transcription(spark):
+    """Independent numpy transcription of the full SemDeDup pipeline
+    (fixed-point Lloyd's k-means, greedy centroid-distance order,
+    τ-threshold drop) on a corpus with PLANTED exact duplicates —
+    every duplicate chain must keep exactly its most-central member."""
+    from graphminer_spark.similarity import semantic_dedup
+
+    rows, dim, scale = 40, 4, 10_000
+    # period-31 generator: no accidental duplicates among i = 0..29
+    vecs = [
+        [(((17 * i + 7 * j + 5 * i * j) % 31) - 15) / 15.0 for j in range(dim)]
+        for i in range(30)
+    ]
+    vecs += [list(vecs[i]) for i in (0, 3, 3, 7, 11, 11, 11, 20, 25, 28)]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        r["vec_id"]: (r["cid"], r["keep"])
+        for r in semantic_dedup(
+            df, n_clusters=4, tau=0.999999, train_iters=2
+        ).collect()
+    }
+    assert len(got) == rows
+
+    # ---- numpy replay (float32 cast first, like the parquet column)
+    v = np.array(vecs, dtype=np.float32).astype(np.float64)
+    q = np.round(v * scale).astype(np.int64)
+    cents = q[:4].copy()
+    for _ in range(2):
+        d = ((q[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)  # argmin ties -> lowest cid, same
+        for c in range(4):
+            members = q[assign == c]
+            if len(members):
+                cents[c] = np.floor(
+                    members.sum(axis=0) / len(members)
+                ).astype(np.int64)
+    d = ((q[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    assign = d.argmin(axis=1)
+    dist = d[np.arange(rows), assign]
+    keep = np.ones(rows, dtype=int)
+    for c in range(4):
+        ids = sorted(np.where(assign == c)[0], key=lambda i: (dist[i], i))
+        for pos, i in enumerate(ids):
+            for j in ids[:pos]:
+                sim = round(
+                    float(v[i] @ v[j])
+                    / (np.linalg.norm(v[i]) * np.linalg.norm(v[j])),
+                    6,
+                )
+                if sim >= 0.999999:
+                    keep[i] = 0
+                    break
+    for i in range(rows):
+        assert got[i] == (assign[i], keep[i]), f"vec {i}"
+    # sanity: every planted chain lost members, none lost all
+    assert keep.sum() < rows
+    for orig in (0, 3, 7, 11, 20, 25, 28):
+        chain = [orig] + [
+            30 + k
+            for k, src in enumerate((0, 3, 3, 7, 11, 11, 11, 20, 25, 28))
+            if src == orig
+        ]
+        assert sum(keep[i] for i in chain) == 1, f"chain {chain}"
