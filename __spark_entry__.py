@@ -622,6 +622,29 @@ def _q_exact_dedup(spark, sf_dir):
     return exact_dedup(_docs(spark, sf_dir))
 
 
+# the "data recipe" mixture: en 50%, de 25%, everything else 10%
+STRAT_RATES = {"en": 5000, "de": 2500}
+
+
+def _q_stratified_sample(spark, sf_dir):
+    # map-side-only deterministic mixture sampling (no shuffle)
+    from graphminer_spark.textops.sampling import stratified_sample
+
+    return stratified_sample(
+        _docs(spark, sf_dir), STRAT_RATES, default_bp=1000
+    ).select("doc_id", "lang", "rate_bp")
+
+
+def _q_per_lang_sample(spark, sf_dir):
+    # fixed-size hash-ordered reservoir per language (WindowGroupLimit
+    # keeps it a partial top-n per partition at scale)
+    from graphminer_spark.textops.sampling import per_stratum_sample
+
+    return per_stratum_sample(_docs(spark, sf_dir), n=10).select(
+        "doc_id", "lang", "sample_rank"
+    )
+
+
 def _q_token_count(spark, sf_dir):
     return token_count(_docs(spark, sf_dir))
 
@@ -964,7 +987,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sgl_taileddiamond": _mk_sgl_query("taileddiamond"),
         "sgl_dumbbell": _mk_sgl_query("dumbbell"),
         # --- one row per LLM-pipeline family (rotated variants) ---
-        "docs_exact_dedup": _q_exact_dedup,
+        # --- deterministic training-mixture samplers (new) ---
+        "docs_stratified_sample": _q_stratified_sample,
         "docs_lsh_neardup": _q_lsh_neardup,
         "docs_simhash_neardup": _q_simhash_neardup,
         "docs_token_count": _q_token_count,
@@ -1014,6 +1038,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_media_meta": _q_mm_meta,
         "docs_jaccard_pairs": _q_jaccard_pairs,
         "emb_neardup": _q_emb_neardup,
+        "docs_exact_dedup": _q_exact_dedup,
+        "docs_per_lang_sample": _q_per_lang_sample,
         "mm_frame_sample": _q_mm_frames,
         "mm_asset_dedup": _q_mm_dedup,
         "ev_windowed_counts": _q_ev_windows,
@@ -1287,6 +1313,27 @@ def oracle_sql() -> dict[str, str]:
         ),
         "pagerank_5iter_csr": pagerank_sql(5),
         "docs_exact_dedup": EXACT_DEDUP_SQL,
+        "docs_stratified_sample": """
+            SELECT doc_id, lang,
+                   (CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2500
+                         ELSE 1000 END)::INT AS rate_bp
+            FROM documents
+            WHERE ('0x' || substr(md5(doc_id::VARCHAR || ':' || lang),
+                                  1, 8))::BIGINT % 10000 <
+                  CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2500
+                       ELSE 1000 END
+        """,
+        "docs_per_lang_sample": """
+            SELECT doc_id, lang, sample_rank::INT AS sample_rank FROM (
+              SELECT doc_id, lang,
+                     row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY ('0x' || substr(
+                           md5(doc_id::VARCHAR || ':psr'), 1, 8))::BIGINT,
+                         doc_id) AS sample_rank
+              FROM documents)
+            WHERE sample_rank <= 10
+        """,
         "docs_top_terms": """
             WITH words AS (
               SELECT doc_id, UNNEST(string_split(text, ' ')) AS word

@@ -429,3 +429,53 @@ def test_semantic_dedup_matches_numpy_transcription(spark):
             if src == orig
         ]
         assert sum(keep[i] for i in chain) == 1, f"chain {chain}"
+
+
+# -------------------------------------- deterministic doc samplers
+
+
+def test_samplers_deterministic_across_partitioning(spark):
+    """Membership must be identical however the input is partitioned
+    (stage-retry / cluster-size independence), mixture rates must
+    track rates_bp, and the reservoir is exactly-n per stratum."""
+    import pyspark.sql.functions as F
+
+    from graphminer_spark.textops.sampling import (
+        per_stratum_sample,
+        stratified_sample,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, ["en", "de", "fr"][i % 3]) for i in range(3000)],
+        "doc_id long, lang string",
+    )
+    rates = {"en": 5000, "de": 2500}
+
+    def strat_ids(df):
+        return sorted(
+            r["doc_id"]
+            for r in stratified_sample(df, rates, default_bp=1000).collect()
+        )
+
+    a = strat_ids(docs)
+    b = strat_ids(docs.repartition(17, "lang"))
+    assert a == b and len(a) > 0
+    got = {
+        r["lang"]: r["n"]
+        for r in stratified_sample(docs, rates, default_bp=1000)
+        .groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    # 1000 docs/stratum: expected ~500/250/100, binomial 4-sigma bands
+    assert 400 < got["en"] < 600
+    assert 180 < got["de"] < 320
+    assert 60 < got.get("fr", 0) < 140
+
+    def res_ids(df):
+        return sorted(
+            (r["lang"], r["sample_rank"], r["doc_id"])
+            for r in per_stratum_sample(df, n=7).collect()
+        )
+
+    ra = res_ids(docs)
+    rb = res_ids(docs.repartition(31))
+    assert ra == rb and len(ra) == 21  # exactly 7 per stratum
