@@ -857,6 +857,20 @@ def _q_mm_png_stats(spark, sf_dir):
     return image_pixel_stats(synthesize_png_assets(_docs(spark, sf_dir)))
 
 
+def _q_mm_jpeg_stats(spark, sf_dir):
+    # REAL baseline-JPEG codec path: every document becomes an actual
+    # JPEG (SOI/DQT/SOF0/DHT/SOS, Annex-K Huffman) whose 8x8 blocks
+    # are constant with even offsets, so the quantized stream is
+    # DC-only and the full marker/Huffman/dequant/IDCT decode is
+    # bit-exact — the SQL oracle re-derives the stats in closed form
+    from graphminer_spark.multimodal import (
+        jpeg_pixel_stats,
+        synthesize_jpeg_assets,
+    )
+
+    return jpeg_pixel_stats(synthesize_jpeg_assets(_docs(spark, sf_dir)))
+
+
 def _q_mm_wav_stats(spark, sf_dir):
     # REAL audio codec path: encode every document as an actual mono
     # PCM16 WAV (closed-form samples), decode it back through the
@@ -967,7 +981,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "path4_colorful_dp_r3": _q_path4_colorful_dp_r3,
         "motif4_counts": _q_motif4,
         "motif5_counts": _q_motif5,
-        "pattern_counts": _q_patterns,
         # --- sampling sources (new component) ---
         "graph_rw_sample": _q_rw_sample,
         # --- labels / features / FSM / Query pipeline / GKS / bipartite ---
@@ -1000,11 +1013,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # decode-to-samples (new components this round) ---
         "mm_png_pixel_stats": _q_mm_png_stats,
         "mm_wav_sample_stats": _q_mm_wav_stats,
+        "mm_jpeg_pixel_stats": _q_mm_jpeg_stats,
         # --- events + OLAP (rotated variants) ---
         "ev_sessions": _q_ev_sessions,
         "olap_top_parts": _q_top_parts,
         # ---------------- past the 50-entry driver cap ----------------
         "tc_total_2d": _q_tc_2d,
+        "pattern_counts": _q_patterns,
         "graph_ff_sample": _q_ff_sample,
         "ppr_5iter": _q_ppr5,
         "graph_assortativity": _q_assortativity,
@@ -1172,6 +1187,21 @@ def oracle_sql() -> dict[str, str]:
                    sum(CASE WHEN v > 0 THEN 1 ELSE 0 END)::BIGINT
                      AS px_nonzero
             FROM px GROUP BY asset_id, width, height
+        """,
+        "mm_jpeg_pixel_stats": """
+            WITH p AS (SELECT doc_id AS asset_id,
+                              8 * (2 + doc_id % 3) AS w,
+                              8 * (2 + doc_id % 2) AS h FROM documents),
+            b AS (
+              SELECT asset_id, w, h,
+                     128 + 2 * (((37 * asset_id + 11 * i.g) % 64) - 32) AS v
+              FROM p, LATERAL (SELECT unnest(range(0, (w // 8) * (h // 8)))
+                               AS g) i
+            )
+            SELECT asset_id, w::INT AS width, h::INT AS height,
+                   (sum(v) * 64)::BIGINT AS px_sum,
+                   min(v)::INT AS px_min, max(v)::INT AS px_max
+            FROM b GROUP BY asset_id, w, h
         """,
         "mm_wav_sample_stats": """
             WITH p AS (SELECT doc_id AS asset_id,

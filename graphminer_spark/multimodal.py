@@ -498,3 +498,388 @@ def dedup_assets(assets: DataFrame) -> DataFrame:
     return meta.groupBy("content_sha256").agg(
         F.min("asset_id").alias("keep_id"), F.count("*").alias("n_copies")
     )
+
+
+# --------------------------------- baseline JPEG gray (pure stdlib)
+#
+# Full ITU-T T.81 baseline codec for 8-bit grayscale: the encoder is
+# the fixture path (DCT -> Annex-K quantization -> zigzag -> DC-diff +
+# run-length Huffman with the standard Annex-K luminance tables ->
+# byte-stuffed entropy stream), the decoder walks DQT/SOF0/DHT/SOS,
+# rebuilds the canonical Huffman codes, entropy-decodes, dequantizes
+# and inverse-DCTs. Completes the real-codec set next to PNG
+# (decode_png_gray) and WAV (decode_wav_pcm16).
+
+_JPEG_QTAB = np.array(
+    [
+        [16, 11, 10, 16, 24, 40, 51, 61],
+        [12, 12, 14, 19, 26, 58, 60, 55],
+        [14, 13, 16, 24, 40, 57, 69, 56],
+        [14, 17, 22, 29, 51, 87, 80, 62],
+        [18, 22, 37, 56, 68, 109, 103, 77],
+        [24, 35, 55, 64, 81, 104, 113, 92],
+        [49, 64, 78, 87, 103, 121, 120, 101],
+        [72, 92, 95, 98, 112, 100, 103, 99],
+    ],
+    dtype=np.int32,
+)
+
+# zigzag scan: _JPEG_ZZ[i] = natural (row-major) index of the i-th
+# zigzag coefficient
+def _jpeg_zigzag() -> "np.ndarray":
+    order = sorted(
+        ((r, c) for r in range(8) for c in range(8)),
+        key=lambda rc: (
+            rc[0] + rc[1],
+            rc[1] if (rc[0] + rc[1]) % 2 else rc[0],
+        ),
+    )
+    return np.array([r * 8 + c for r, c in order], dtype=np.int64)
+
+
+_JPEG_ZZ = _jpeg_zigzag()
+
+# Annex K.3 standard luminance Huffman specs: (bits[1..16], values)
+_JPEG_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_DC_VALS = list(range(12))
+_JPEG_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_JPEG_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+
+def _huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """Canonical JPEG Huffman assignment → {symbol: (code, length)}."""
+    out, code, i = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[i]] = (code, length)
+            code += 1
+            i += 1
+        code <<= 1
+    return out
+
+
+def _dct_c() -> "np.ndarray":
+    x = np.arange(8, dtype=np.float64)
+    c = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16) / 2
+    c[0, :] /= np.sqrt(2)
+    return c  # F = C f C^T ; f = C^T F C
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            b = (self.acc >> (self.n - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:  # byte stuffing
+                self.out.append(0x00)
+            self.n -= 8
+
+    def flush(self) -> bytes:
+        if self.n:
+            self.put(0x7F, 8 - self.n)  # pad with 1-bits
+        return bytes(self.out)
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """JPEG magnitude coding → (category, value-bits)."""
+    s = int(abs(v)).bit_length()
+    return s, (v if v >= 0 else v + (1 << s) - 1)
+
+
+def encode_jpeg_gray(pixels: "np.ndarray") -> bytes:
+    """Grayscale uint8 image → REAL baseline JPEG bytes (SOI, DQT,
+    SOF0, 2×DHT, SOS, entropy scan, EOI; Annex-K tables, no
+    subsampling). Edge-replicates to 8×8 blocks like every real
+    encoder."""
+    px = np.asarray(pixels, dtype=np.float64)
+    h, w = px.shape
+    ph, pw = -h % 8, -w % 8
+    px = np.pad(px, ((0, ph), (0, pw)), mode="edge")
+    c = _dct_c()
+    dc_codes = _huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    bw = _BitWriter()
+    prev_dc = 0
+    for br in range(0, px.shape[0], 8):
+        for bc in range(0, px.shape[1], 8):
+            f = c @ (px[br : br + 8, bc : bc + 8] - 128.0) @ c.T
+            # quantizer spec: half-up with a 1e-9 tie guard — integer
+            # pixel blocks can land DCT/Q exactly on .5, where
+            # np.round's banker's tie-break is fp-jitter-unstable
+            # across DCT implementations
+            ratio = f / _JPEG_QTAB
+            q = np.floor(np.abs(ratio) + 0.5 + 1e-9).astype(
+                np.int64
+            ) * np.sign(ratio).astype(np.int64)
+            zz = q.reshape(-1)[_JPEG_ZZ]
+            s, mag = _magnitude(int(zz[0]) - prev_dc)
+            prev_dc = int(zz[0])
+            bw.put(*dc_codes[s])
+            if s:
+                bw.put(mag, s)
+            run = 0
+            for k in range(1, 64):
+                v = int(zz[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    bw.put(*ac_codes[0xF0])  # ZRL
+                    run -= 16
+                s, mag = _magnitude(v)
+                bw.put(*ac_codes[(run << 4) | s])
+                bw.put(mag, s)
+                run = 0
+            if run:
+                bw.put(*ac_codes[0x00])  # EOB
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    dqt = seg(
+        0xDB,
+        b"\x00" + bytes(int(x) for x in _JPEG_QTAB.reshape(-1)[_JPEG_ZZ]),
+    )
+    sof = seg(0xC0, struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00")
+    dht = seg(
+        0xC4,
+        b"\x00" + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS),
+    ) + seg(0xC4, b"\x10" + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS))
+    sos = seg(0xDA, b"\x01\x01\x00\x00\x3f\x00")
+    return (
+        b"\xff\xd8" + dqt + sof + dht + sos + bw.flush() + b"\xff\xd9"
+    )
+
+
+class _BitReader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def bit(self) -> int:
+        if not self.n:
+            self.acc = self.data[self.pos]
+            self.pos += 1
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _extend(r: int, s: int) -> int:
+    return r if s == 0 or r >= (1 << (s - 1)) else r - (1 << s) + 1
+
+
+def decode_jpeg_gray(blob: bytes) -> "np.ndarray":
+    """Full baseline JPEG grayscale decode → uint8 pixel array:
+    marker walk, canonical Huffman rebuild from DHT, entropy decode
+    (DC differences + AC run-lengths, byte-unstuffing), dequantize,
+    inverse DCT, level shift. Single-component scans only (the
+    grayscale analogue of :func:`decode_png_gray`)."""
+    if blob[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    i, qtab, huffs, dims, scan = 2, None, {}, None, None
+    while i + 4 <= len(blob):
+        if blob[i] != 0xFF:
+            i += 1
+            continue
+        marker = blob[i + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        if marker == 0xD9:
+            break
+        seglen = struct.unpack_from(">H", blob, i + 2)[0]
+        body = blob[i + 4 : i + 2 + seglen]
+        if marker == 0xDB:
+            if body[0] & 0x0F == 0:
+                nat = np.zeros(64, dtype=np.int64)
+                nat[_JPEG_ZZ] = np.frombuffer(
+                    body[1:65], dtype=np.uint8
+                ).astype(np.int64)
+                qtab = nat.reshape(8, 8)
+        elif marker == 0xC4:
+            pos = 0
+            while pos < len(body):
+                tcth = body[pos]
+                bits = list(body[pos + 1 : pos + 17])
+                nv = sum(bits)
+                vals = list(body[pos + 17 : pos + 17 + nv])
+                codes = _huff_codes(bits, vals)
+                huffs[tcth] = {
+                    (code, ln): sym for sym, (code, ln) in codes.items()
+                }
+                pos += 17 + nv
+        elif marker == 0xC0:
+            _, h, w, nc = struct.unpack_from(">BHHB", body, 0)
+            if nc != 1:
+                raise NotImplementedError(
+                    "pixel decode supports 1-component baseline JPEG"
+                )
+            dims = (h, w)
+        elif marker == 0xC1 or (0xC2 <= marker <= 0xCF and marker != 0xC4):
+            raise NotImplementedError("baseline (SOF0) JPEG only")
+        elif marker == 0xDA:
+            # entropy scan follows the SOS header; unstuff to EOI
+            raw = bytearray()
+            j = i + 2 + seglen
+            while j < len(blob):
+                b = blob[j]
+                if b == 0xFF:
+                    nxt = blob[j + 1]
+                    if nxt == 0x00:
+                        raw.append(0xFF)
+                        j += 2
+                        continue
+                    break  # EOI or next marker
+                raw.append(b)
+                j += 1
+            scan = bytes(raw)
+            break
+        i += 2 + seglen
+    if qtab is None or dims is None or scan is None:
+        raise ValueError("JPEG missing DQT/SOF0/SOS")
+
+    def read_sym(br: _BitReader, table: dict) -> int:
+        code, ln = 0, 0
+        while ln <= 16:
+            code = (code << 1) | br.bit()
+            ln += 1
+            if (code, ln) in table:
+                return table[(code, ln)]
+        raise ValueError("invalid Huffman code")
+
+    h, w = dims
+    bh, bw_ = -(-h // 8) * 8, -(-w // 8) * 8
+    out = np.zeros((bh, bw_), dtype=np.float64)
+    c = _dct_c()
+    br = _BitReader(scan)
+    dc_tab, ac_tab = huffs[0x00], huffs[0x10]
+    dc = 0
+    for rr in range(0, bh, 8):
+        for cc in range(0, bw_, 8):
+            zz = np.zeros(64, dtype=np.int64)
+            s = read_sym(br, dc_tab)
+            dc += _extend(br.bits(s), s)
+            zz[0] = dc
+            k = 1
+            while k < 64:
+                sym = read_sym(br, ac_tab)
+                if sym == 0x00:  # EOB
+                    break
+                if sym == 0xF0:  # ZRL
+                    k += 16
+                    continue
+                k += sym >> 4
+                size = sym & 0x0F
+                zz[k] = _extend(br.bits(size), size)
+                k += 1
+            coef = np.zeros(64, dtype=np.int64)
+            coef[_JPEG_ZZ] = zz
+            f = (coef.reshape(8, 8) * qtab).astype(np.float64)
+            out[rr : rr + 8, cc : cc + 8] = c.T @ f @ c + 128.0
+    return np.clip(np.round(out[:h, :w]), 0, 255).astype(np.uint8)
+
+
+def synthesize_jpeg_assets(docs: DataFrame) -> DataFrame:
+    """``documents`` → ``(asset_id, media)`` where media is a REAL
+    baseline JPEG. Every 8×8 block is constant with an EVEN offset
+    from 128 (``c_b = 128 + 2·(((37k + 11b) % 64) − 32)``, blocks
+    row-major, ``w = 8·(2 + k%3)``, ``h = 8·(2 + k%2)``), so the
+    quantized stream is DC-only and the decode is bit-exact — an
+    independent SQL oracle derives pixel statistics from the closed
+    form while the decoder still runs the full marker/Huffman/
+    dequant/IDCT path."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = [int(x) for x in pdf["doc_id"]]
+            blobs = []
+            for k in ids:
+                w, h = 8 * (2 + k % 3), 8 * (2 + k % 2)
+                b = np.arange((h // 8) * (w // 8), dtype=np.int64)
+                vals = 128 + 2 * ((37 * k + 11 * b) % 64 - 32)
+                px = np.kron(
+                    vals.reshape(h // 8, w // 8), np.ones((8, 8), np.int64)
+                ).astype(np.uint8)
+                blobs.append(encode_jpeg_gray(px))
+            yield pd.DataFrame({"asset_id": ids, "media": blobs})
+
+    return docs.select("doc_id").mapInPandas(
+        run, schema="asset_id long, media binary"
+    )
+
+
+def jpeg_pixel_stats(assets: DataFrame) -> DataFrame:
+    """REAL decode-to-pixels feature extraction for baseline JPEG →
+    ``(asset_id, width, height, px_sum, px_min, px_max)`` per image
+    (exact integers). Non-JPEG blobs are skipped. Same Arrow batch
+    shape as :func:`image_pixel_stats`."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for aid, blob in zip(pdf["asset_id"], pdf["media"]):
+                b = bytes(blob)
+                if b[:2] != b"\xff\xd8":
+                    continue
+                px = decode_jpeg_gray(b).astype(np.int64)
+                recs.append(
+                    (
+                        int(aid),
+                        px.shape[1],
+                        px.shape[0],
+                        int(px.sum()),
+                        int(px.min()),
+                        int(px.max()),
+                    )
+                )
+            yield pd.DataFrame(
+                recs,
+                columns=[
+                    "asset_id", "width", "height", "px_sum", "px_min",
+                    "px_max",
+                ],
+            )
+
+    return assets.select("asset_id", "media").mapInPandas(
+        run,
+        schema="asset_id long, width int, height int, px_sum bigint, "
+        "px_min int, px_max int",
+    )

@@ -479,3 +479,106 @@ def test_samplers_deterministic_across_partitioning(spark):
     ra = res_ids(docs)
     rb = res_ids(docs.repartition(31))
     assert ra == rb and len(ra) == 21  # exactly 7 per stratum
+
+
+# -------------------------------------------- baseline JPEG codec
+
+
+def _jpeg_reference_reconstruct(px):
+    """Independent transcription of the baseline pipeline: explicit
+    cosine-sum DCT per block, Annex-K quantize/dequantize, explicit
+    cosine-sum IDCT — no shared matrix helper with the codec."""
+    import math
+
+    from graphminer_spark.multimodal import _JPEG_QTAB
+
+    h, w = px.shape
+    ph, pw = -h % 8, -w % 8
+    p = np.pad(px.astype(np.float64), ((0, ph), (0, pw)), mode="edge")
+    out = np.zeros_like(p)
+
+    def alpha(u):
+        return math.sqrt(0.5) if u == 0 else 1.0
+
+    for br in range(0, p.shape[0], 8):
+        for bc in range(0, p.shape[1], 8):
+            f = p[br : br + 8, bc : bc + 8] - 128.0
+            F = np.zeros((8, 8))
+            for u in range(8):
+                for v in range(8):
+                    acc = 0.0
+                    for x in range(8):
+                        for y in range(8):
+                            acc += (
+                                f[x, y]
+                                * math.cos((2 * x + 1) * u * math.pi / 16)
+                                * math.cos((2 * y + 1) * v * math.pi / 16)
+                            )
+                    F[u, v] = alpha(u) * alpha(v) * acc / 4
+            ratio = F / _JPEG_QTAB
+            q = (
+                np.floor(np.abs(ratio) + 0.5 + 1e-9) * np.sign(ratio)
+            ) * _JPEG_QTAB  # same half-up tie-guard spec as the codec
+            r = np.zeros((8, 8))
+            for x in range(8):
+                for y in range(8):
+                    acc = 0.0
+                    for u in range(8):
+                        for v in range(8):
+                            acc += (
+                                alpha(u)
+                                * alpha(v)
+                                * q[u, v]
+                                * math.cos((2 * x + 1) * u * math.pi / 16)
+                                * math.cos((2 * y + 1) * v * math.pi / 16)
+                            )
+                    r[x, y] = acc / 4 + 128.0
+            out[br : br + 8, bc : bc + 8] = r
+    return np.clip(np.round(out[:h, :w]), 0, 255).astype(np.uint8)
+
+
+def test_jpeg_round_trip_matches_reference_pipeline():
+    from graphminer_spark.multimodal import (
+        decode_header,
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+    )
+
+    px = _gradient(21, 19, k=9)  # exercises edge padding both axes
+    blob = encode_jpeg_gray(px)
+    assert blob[:2] == b"\xff\xd8" and blob[-2:] == b"\xff\xd9"
+    assert decode_header(blob) == ("image", 19, 21, 1)
+    np.testing.assert_array_equal(
+        decode_jpeg_gray(blob), _jpeg_reference_reconstruct(px)
+    )
+
+
+def test_jpeg_dc_only_blocks_decode_bit_exact():
+    from graphminer_spark.multimodal import decode_jpeg_gray, encode_jpeg_gray
+
+    vals = 128 + 2 * (np.arange(12).reshape(3, 4) * 7 % 64 - 32)
+    px = np.kron(vals, np.ones((8, 8), np.int64)).astype(np.uint8)
+    np.testing.assert_array_equal(decode_jpeg_gray(encode_jpeg_gray(px)), px)
+
+
+def test_jpeg_pixel_stats_matches_numpy(spark):
+    from graphminer_spark.multimodal import (
+        jpeg_pixel_stats,
+        synthesize_jpeg_assets,
+    )
+
+    docs = spark.createDataFrame([(k,) for k in range(24)], "doc_id long")
+    got = {
+        r["asset_id"]: r
+        for r in jpeg_pixel_stats(synthesize_jpeg_assets(docs)).collect()
+    }
+    assert len(got) == 24
+    for k in (0, 5, 23):
+        w, h = 8 * (2 + k % 3), 8 * (2 + k % 2)
+        b = np.arange((h // 8) * (w // 8), dtype=np.int64)
+        vals = 128 + 2 * ((37 * k + 11 * b) % 64 - 32)
+        r = got[k]
+        assert (r["width"], r["height"]) == (w, h)
+        assert r["px_sum"] == int(vals.sum()) * 64
+        assert r["px_min"] == int(vals.min())
+        assert r["px_max"] == int(vals.max())
