@@ -871,6 +871,20 @@ def _q_mm_jpeg_stats(spark, sf_dir):
     return jpeg_pixel_stats(synthesize_jpeg_assets(_docs(spark, sf_dir)))
 
 
+def _q_mm_gif_stats(spark, sf_dir):
+    # REAL animated-GIF codec path: every document becomes an actual
+    # GIF89a (global palette, per-frame GCE + image descriptor +
+    # variable-width LZW), every 2nd frame is decoded back through the
+    # real LZW inflater, and the palette-index stats are exact
+    # integers the SQL oracle re-derives in closed form
+    from graphminer_spark.multimodal import (
+        gif_frame_stats,
+        synthesize_gif_assets,
+    )
+
+    return gif_frame_stats(synthesize_gif_assets(_docs(spark, sf_dir)))
+
+
 def _q_mm_wav_stats(spark, sf_dir):
     # REAL audio codec path: encode every document as an actual mono
     # PCM16 WAV (closed-form samples), decode it back through the
@@ -962,7 +976,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tc_per_edge": _q_tc_per_edge,
         "tc_approx": _q_tc_approx,
         "pagerank_5iter": _q_pagerank5,
-        "pagerank_5iter_csr": _q_pagerank5_csr,
         "wpr_5iter": _q_wpr5,
         "cc_components": _q_cc,
         "lp_labels_2iter": _q_lp2,
@@ -1014,11 +1027,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_png_pixel_stats": _q_mm_png_stats,
         "mm_wav_sample_stats": _q_mm_wav_stats,
         "mm_jpeg_pixel_stats": _q_mm_jpeg_stats,
+        "mm_gif_frame_stats": _q_mm_gif_stats,
         # --- events + OLAP (rotated variants) ---
         "ev_sessions": _q_ev_sessions,
         "olap_top_parts": _q_top_parts,
         # ---------------- past the 50-entry driver cap ----------------
         "tc_total_2d": _q_tc_2d,
+        "pagerank_5iter_csr": _q_pagerank5_csr,
         "pattern_counts": _q_patterns,
         "graph_ff_sample": _q_ff_sample,
         "ppr_5iter": _q_ppr5,
@@ -1187,6 +1202,22 @@ def oracle_sql() -> dict[str, str]:
                    sum(CASE WHEN v > 0 THEN 1 ELSE 0 END)::BIGINT
                      AS px_nonzero
             FROM px GROUP BY asset_id, width, height
+        """,
+        "mm_gif_frame_stats": """
+            WITH p AS (SELECT doc_id AS asset_id, 8 + doc_id % 5 AS w,
+                              8 + doc_id % 3 AS h, 2 + doc_id % 4 AS nf
+                       FROM documents),
+            f AS (SELECT asset_id, w, h, fr.g AS frame_idx
+                  FROM p, LATERAL (SELECT unnest(range(0, nf)) AS g) fr
+                  WHERE fr.g % 2 = 0),
+            s AS (SELECT asset_id, frame_idx, w, h,
+                         (37 * asset_id + 11 * frame_idx + 5 * i.g) % 256
+                           AS v
+                  FROM f, LATERAL (SELECT unnest(range(0, w * h)) AS g) i)
+            SELECT asset_id, frame_idx::INT AS frame_idx,
+                   w::INT AS width, h::INT AS height,
+                   sum(v)::BIGINT AS idx_sum, max(v)::INT AS idx_max
+            FROM s GROUP BY asset_id, frame_idx, w, h
         """,
         "mm_jpeg_pixel_stats": """
             WITH p AS (SELECT doc_id AS asset_id,

@@ -582,3 +582,60 @@ def test_jpeg_pixel_stats_matches_numpy(spark):
         assert r["px_sum"] == int(vals.sum()) * 64
         assert r["px_min"] == int(vals.min())
         assert r["px_max"] == int(vals.max())
+
+
+# --------------------------------------------- animated GIF (LZW)
+
+
+def test_gif_lzw_round_trip_and_width_growth():
+    from graphminer_spark.multimodal import _lzw_decode_gif, _lzw_encode_gif
+
+    # varied stream forces 9->12-bit code growth and a 4096 reset
+    data = bytes((i * 7 + (i >> 3)) % 256 for i in range(30000))
+    assert _lzw_decode_gif(_lzw_encode_gif(data)) == data
+    comp = _lzw_encode_gif(data)
+    assert len(comp) < len(data)  # actually compresses
+
+
+def test_gif_animated_round_trip_and_header():
+    from graphminer_spark.multimodal import (
+        decode_gif_frames,
+        decode_header,
+        encode_gif_frames,
+    )
+
+    frames = [_gradient(10, 14, k=f) for f in range(5)]
+    blob = encode_gif_frames(frames)
+    assert blob[:6] == b"GIF89a" and blob[-1] == 0x3B
+    # multi-frame GIF reports as the video kind with a real frame count
+    assert decode_header(blob) == ("video", 14, 10, 5)
+    got = decode_gif_frames(blob)
+    assert len(got) == 5
+    for a, b in zip(frames, got):
+        np.testing.assert_array_equal(a, b)
+    # single-frame stays an image
+    single = encode_gif_frames([_gradient(6, 7)])
+    assert decode_header(single) == ("image", 7, 6, 1)
+
+
+def test_gif_frame_stats_matches_numpy(spark):
+    from graphminer_spark.multimodal import (
+        gif_frame_stats,
+        synthesize_gif_assets,
+    )
+
+    docs = spark.createDataFrame([(k,) for k in range(30)], "doc_id long")
+    got = {
+        (r["asset_id"], r["frame_idx"]): r
+        for r in gif_frame_stats(synthesize_gif_assets(docs)).collect()
+    }
+    for k in (0, 7, 29):
+        w, h, nf = 8 + k % 5, 8 + k % 3, 2 + k % 4
+        for f in range(0, nf, 2):
+            i = np.arange(h * w, dtype=np.int64)
+            v = (37 * k + 11 * f + 5 * i) % 256
+            r = got[(k, f)]
+            assert (r["width"], r["height"]) == (w, h)
+            assert r["idx_sum"] == int(v.sum())
+            assert r["idx_max"] == int(v.max())
+        assert (k, 1) not in got  # odd frames sampled out
