@@ -626,6 +626,18 @@ def _q_exact_dedup(spark, sf_dir):
 STRAT_RATES = {"en": 5000, "de": 2500}
 
 
+def _q_lm_coverage(spark, sf_dir):
+    # train-on-corpus -> broadcast-model -> score-every-doc (the CCNet
+    # quality-filter dataflow, exact-integer basis points)
+    from graphminer_spark.textops.lm_score import (
+        lm_coverage_score,
+        train_trigram_model,
+    )
+
+    docs = _docs(spark, sf_dir)
+    return lm_coverage_score(docs, train_trigram_model(docs, top_k=64))
+
+
 def _q_stratified_sample(spark, sf_dir):
     # map-side-only deterministic mixture sampling (no shuffle)
     from graphminer_spark.textops.sampling import stratified_sample
@@ -993,7 +1005,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tree_chair_colorful": _q_tree_chair_colorful,
         "path4_colorful_dp_r3": _q_path4_colorful_dp_r3,
         "motif4_counts": _q_motif4,
-        "motif5_counts": _q_motif5,
         # --- sampling sources (new component) ---
         "graph_rw_sample": _q_rw_sample,
         # --- labels / features / FSM / Query pipeline / GKS / bipartite ---
@@ -1015,6 +1026,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- one row per LLM-pipeline family (rotated variants) ---
         # --- deterministic training-mixture samplers (new) ---
         "docs_stratified_sample": _q_stratified_sample,
+        # --- corpus-trained trigram coverage scoring (new) ---
+        "docs_lm_coverage": _q_lm_coverage,
         "docs_lsh_neardup": _q_lsh_neardup,
         "docs_simhash_neardup": _q_simhash_neardup,
         "docs_token_count": _q_token_count,
@@ -1033,6 +1046,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "olap_top_parts": _q_top_parts,
         # ---------------- past the 50-entry driver cap ----------------
         "tc_total_2d": _q_tc_2d,
+        "motif5_counts": _q_motif5,
         "pagerank_5iter_csr": _q_pagerank5_csr,
         "pattern_counts": _q_patterns,
         "graph_ff_sample": _q_ff_sample,
@@ -1374,6 +1388,37 @@ def oracle_sql() -> dict[str, str]:
         ),
         "pagerank_5iter_csr": pagerank_sql(5),
         "docs_exact_dedup": EXACT_DEDUP_SQL,
+        "docs_lm_coverage": """
+            WITH g AS MATERIALIZED (
+              SELECT doc_id, substring(text, i.g::INT, 3) AS gram
+              FROM documents,
+              LATERAL (SELECT unnest(range(1, greatest(length(text) - 1,
+                                                       1))) AS g) i
+              WHERE length(text) >= 3
+            ),
+            m AS MATERIALIZED (
+              SELECT gram FROM (
+                SELECT gram,
+                       row_number() OVER (ORDER BY count(*) DESC, gram)
+                         AS rank
+                FROM g GROUP BY gram) WHERE rank <= 64
+            ),
+            s AS (
+              SELECT d.doc_id,
+                     count(g.gram) AS n_grams,
+                     coalesce(sum(CASE WHEN m.gram IS NOT NULL
+                                       THEN 1 ELSE 0 END), 0) AS n_hits
+              FROM documents d
+              LEFT JOIN g ON g.doc_id = d.doc_id
+              LEFT JOIN m ON m.gram = g.gram
+              GROUP BY d.doc_id
+            )
+            SELECT doc_id, n_grams::BIGINT AS n_grams,
+                   n_hits::BIGINT AS n_hits,
+                   (CASE WHEN n_grams > 0 THEN (n_hits * 10000) // n_grams
+                         ELSE 0 END)::BIGINT AS cov_bp
+            FROM s
+        """,
         "docs_stratified_sample": """
             SELECT doc_id, lang,
                    (CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2500

@@ -639,3 +639,48 @@ def test_gif_frame_stats_matches_numpy(spark):
             assert r["idx_sum"] == int(v.sum())
             assert r["idx_max"] == int(v.max())
         assert (k, 1) not in got  # odd frames sampled out
+
+
+# ------------------------------------ trigram LM coverage scoring
+
+
+def test_lm_coverage_matches_python_transcription(spark):
+    from collections import Counter
+
+    from graphminer_spark.textops.lm_score import (
+        lm_coverage_score,
+        train_trigram_model,
+    )
+
+    texts = [
+        "the cat sat on the mat",
+        "the dog sat on the log",
+        "zqx!!",          # out-of-distribution noise
+        "ab",             # shorter than one trigram
+        "the the the the",
+    ]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    model = train_trigram_model(docs, top_k=5)
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_hits"], r["cov_bp"])
+        for r in lm_coverage_score(docs, model).collect()
+    }
+
+    cnt = Counter()
+    for t in texts:
+        for i in range(len(t) - 2):
+            cnt[t[i : i + 3]] += 1
+    top = {
+        g
+        for g, _ in sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    }
+    assert len(got) == len(texts)
+    for d, t in enumerate(texts):
+        grams = [t[i : i + 3] for i in range(max(len(t) - 2, 0))]
+        hits = sum(g in top for g in grams)
+        bp = hits * 10000 // len(grams) if grams else 0
+        assert got[d] == (len(grams), hits, bp), f"doc {d}"
+    assert got[2][2] < 2000  # noise scores near zero
+    assert got[3] == (0, 0, 0)
