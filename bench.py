@@ -326,6 +326,33 @@ def main() -> None:
         extra=True,
     )
 
+    # ---- LLM-pipeline rows (round-5 components): SemDeDup semantic
+    # dedup over trained k-means cells and the corpus-trained trigram
+    # coverage scorer — both exact-integer plans, measured at sf0.1
+    # corpus scale (2k vectors / 5k docs)
+    from graphminer_spark.similarity import semantic_dedup  # noqa: E402
+    from graphminer_spark.textops.lm_score import (  # noqa: E402
+        lm_coverage_score,
+        train_trigram_model,
+    )
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    timed(
+        "emb_semdedup",
+        lambda: semantic_dedup(
+            embs, n_clusters=16, tau=0.35, train_iters=2
+        ).count(),
+        extra=True,
+    )
+    docs_df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    timed(
+        "docs_lm_coverage",
+        lambda: lm_coverage_score(
+            docs_df, train_trigram_model(docs_df, top_k=64)
+        ).count(),
+        extra=True,
+    )
+
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]
     print(
