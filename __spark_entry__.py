@@ -63,6 +63,7 @@ from graphminer_spark.oracle_sql import (
     FINGERPRINT_SQL,
     SIMHASH_SQL,
     TOKEN_COUNT_SQL,
+    dup_spans_sql,
     emb_neardup_sql,
     graph_query,
     jaccard_all_pairs_sql,
@@ -661,6 +662,14 @@ def _q_token_count(spark, sf_dir):
     return token_count(_docs(spark, sf_dir))
 
 
+def _q_dup_spans(spark, sf_dir):
+    # substring-level dedup signal (Lee et al. 2022): per-doc counts of
+    # cross-document duplicated 8-gram positions + covered tokens
+    from graphminer_spark.textops.dedup import dup_ngram_spans
+
+    return dup_ngram_spans(_docs(spark, sf_dir), n=8)
+
+
 def _q_quality(spark, sf_dir):
     return quality_score(_docs(spark, sf_dir))
 
@@ -1030,7 +1039,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_lm_coverage": _q_lm_coverage,
         "docs_lsh_neardup": _q_lsh_neardup,
         "docs_simhash_neardup": _q_simhash_neardup,
-        "docs_token_count": _q_token_count,
+        # --- substring-level span dedup (new component) ---
+        "docs_dup_spans": _q_dup_spans,
         "emb_knn": _q_knn,
         "emb_ivf_ann": _q_ivf_ann,
         # --- SemDeDup semantic dedup over trained cells (new) ---
@@ -1072,6 +1082,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_labeled_4path": _q_labeled_4path,
         "bip_degrees": _q_bip_degrees,
         "docs_minhash_sigs": _q_minhash,
+        "docs_token_count": _q_token_count,
         "docs_simhash": _q_simhash,
         "docs_quality": _q_quality,
         "docs_text_stats": _q_text_stats,
@@ -1469,6 +1480,7 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT count(*) FROM p) AS n_view_click_purchase
         """,
         "docs_token_count": TOKEN_COUNT_SQL,
+        "docs_dup_spans": dup_spans_sql(8),
         "docs_quality": quality_sql(STOPWORDS),
         "docs_langid": langid_sql(LANG_MARKERS),
         "docs_fingerprint": FINGERPRINT_SQL,

@@ -404,6 +404,40 @@ SELECT doc_id,
 FROM documents
 """.strip()
 
+def dup_spans_sql(n: int = 8) -> str:
+    """DuckDB oracle for :func:`textops.dedup.dup_ngram_spans`: same
+    three passes (positioned n-grams -> cross-doc duplicated grams ->
+    per-doc rollup + token coverage), joined on the raw gram text
+    (Spark joins on its md5 — outputs are identical)."""
+    m = n - 1
+    return f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), g AS (
+  SELECT doc_id, i AS pos, array_to_string(toks[i:i+{m}], ' ') AS gram
+  FROM w, UNNEST(generate_series(1, len(toks) - {m})) AS t(i)
+  WHERE len(toks) >= {n}
+), dup AS (
+  SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+), marked AS (
+  SELECT g.doc_id, g.pos, (dup.gram IS NOT NULL) AS is_dup
+  FROM g LEFT JOIN dup ON g.gram = dup.gram
+), cov AS (
+  SELECT doc_id, COUNT(DISTINCT tp)::BIGINT AS dup_tokens
+  FROM marked, UNNEST(generate_series(pos, pos + {m})) AS u(tp)
+  WHERE is_dup GROUP BY doc_id
+), agg AS (
+  SELECT doc_id, COUNT(*)::BIGINT AS n_grams,
+         SUM(CASE WHEN is_dup THEN 1 ELSE 0 END)::BIGINT AS dup_grams
+  FROM marked GROUP BY doc_id
+)
+SELECT d.doc_id, COALESCE(a.n_grams, 0)::BIGINT AS n_grams,
+       COALESCE(a.dup_grams, 0)::BIGINT AS dup_grams,
+       COALESCE(c.dup_tokens, 0)::BIGINT AS dup_tokens
+FROM documents d LEFT JOIN agg a USING (doc_id) LEFT JOIN cov c ON d.doc_id = c.doc_id
+""".strip()
+
+
 QUALITY_SQL = """
 SELECT doc_id,
        len(string_split(text, ' '))::BIGINT AS n_tokens,

@@ -274,3 +274,92 @@ def simhash_near_pairs(
     )
     sh.unpersist()
     return out
+
+
+def dup_ngram_spans(docs: DataFrame, n: int = 8) -> DataFrame:
+    """Per-document duplicated-span statistics over word ``n``-grams —
+    the substring-level dedup signal of Lee et al. 2022 ("Deduplicating
+    Training Data Makes Language Models Better"), re-expressed as three
+    relational passes (the reference's pattern-support counting style,
+    cf. ``/root/reference/src/fsm/omp_base.cc`` support domains, applied
+    to token spans instead of embeddings).
+
+    A positioned n-gram (every start offset kept — multiplicity and
+    position matter here, unlike :func:`with_shingles`) is *duplicated*
+    when its gram text occurs in >= 2 **distinct** documents.  Output,
+    one row per input document::
+
+        (doc_id, n_grams, dup_grams, dup_tokens)
+
+    * ``n_grams``   — total n-gram start positions (0 for <n-token docs)
+    * ``dup_grams`` — positions whose gram is cross-document duplicated
+    * ``dup_tokens``— distinct token positions covered by >= 1
+      duplicated gram (the "fraction of corpus in duplicated spans"
+      numerator; span overlaps collapse)
+
+    Scale: tokenize + positioned explode is a flatMap; gram
+    document-frequency is one partial-aggregatable groupBy on a
+    fixed-width md5 key (never the raw gram string — shuffle rows stay
+    48 bytes at any n); the dup-mark is an equi-join on that key; the
+    per-document rollup shuffles on doc_id.  Coverage is computed
+    per-document from the array of duplicated starts (``flatten`` +
+    ``array_distinct`` over bounded doc length) — no per-token rows
+    ever shuffle.  All JVM built-ins; no Python in the plan.
+    """
+    w = F.split(F.col("text"), " ")
+    idx = F.when(
+        F.size(w) >= n, F.sequence(F.lit(1), F.size(w) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    gram = F.transform(
+        idx,
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.md5(
+                F.concat_ws(
+                    " ", *[F.element_at(w, i + j) for j in range(n)]
+                ).cast("binary")
+            ).alias("g"),
+        ),
+    )
+    grams = docs.select(
+        "doc_id", F.explode(gram).alias("pg")
+    ).select("doc_id", F.col("pg.pos"), F.col("pg.g"))
+
+    dup = (
+        grams.groupBy("g")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter(F.col("df") >= 2)
+        .select("g")
+    )
+    marked = grams.join(dup.withColumn("is_dup", F.lit(True)), "g", "left")
+
+    agg = marked.groupBy("doc_id").agg(
+        F.count("*").alias("n_grams"),
+        F.sum(F.when(F.col("is_dup"), 1).otherwise(0)).alias("dup_grams"),
+        F.size(
+            F.array_distinct(
+                F.flatten(
+                    F.collect_list(
+                        F.when(
+                            F.col("is_dup"),
+                            F.sequence(
+                                F.col("pos"), F.col("pos") + (n - 1)
+                            ),
+                        )
+                    )
+                )
+            )
+        ).alias("dup_tokens"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_grams"), F.lit(0)).alias("n_grams"),
+            F.coalesce(F.col("dup_grams"), F.lit(0)).alias("dup_grams"),
+            F.coalesce(F.col("dup_tokens"), F.lit(0))
+            .cast("long")
+            .alias("dup_tokens"),
+        )
+    )

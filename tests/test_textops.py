@@ -210,3 +210,33 @@ def test_top_terms_ranking(spark):
     # doc 2: banana/cherry tf=2 (both df=2) → banana first by word
     assert got[(2, 1)] == ("banana", 2)
     assert got[(2, 2)] == ("cherry", 2)
+
+
+def test_dup_ngram_spans_hand_computed(spark):
+    from graphminer_spark.textops.dedup import dup_ngram_spans
+
+    # n=3 grams. docs 1 and 2 share "a b c" and "b c d" (overlapping
+    # starts 1,2 in both); doc 3 repeats "x y z" twice WITHIN itself
+    # only (cross-doc df=1 → never duplicated); doc 4 is too short.
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e"),
+            (2, "q a b c d"),
+            (3, "x y z x y z"),
+            (4, "a b"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_grams"], r["dup_grams"], r["dup_tokens"])
+        for r in dup_ngram_spans(docs, n=3).collect()
+    }
+    # doc 1: grams (a b c)(b c d)(c d e); first two dup; coverage =
+    # tokens 1..4 of 5
+    assert got[1] == (3, 2, 4)
+    # doc 2: grams (q a b)(a b c)(b c d); dup at starts 2,3 → tokens 2..5
+    assert got[2] == (3, 2, 4)
+    # doc 3: 4 grams, within-doc repetition only → no cross-doc dup
+    assert got[3] == (4, 0, 0)
+    # doc 4: shorter than n → zero row still present
+    assert got[4] == (0, 0, 0)
