@@ -62,6 +62,7 @@ from graphminer_spark.oracle_sql import (
     EXACT_DEDUP_SQL,
     FINGERPRINT_SQL,
     SIMHASH_SQL,
+    GOPHER_REP_SQL,
     TOKEN_COUNT_SQL,
     dup_spans_sql,
     emb_neardup_sql,
@@ -662,6 +663,14 @@ def _q_token_count(spark, sf_dir):
     return token_count(_docs(spark, sf_dir))
 
 
+def _q_gopher_rep(spark, sf_dir):
+    # Gopher repetition filters: top-2/3-gram token fraction +
+    # repeated-5-gram coverage, integer basis points
+    from graphminer_spark.textops.quality import gopher_repetition
+
+    return gopher_repetition(_docs(spark, sf_dir))
+
+
 def _q_dup_spans(spark, sf_dir):
     # substring-level dedup signal (Lee et al. 2022): per-doc counts of
     # cross-document duplicated 8-gram positions + covered tokens
@@ -1038,7 +1047,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- corpus-trained trigram coverage scoring (new) ---
         "docs_lm_coverage": _q_lm_coverage,
         "docs_lsh_neardup": _q_lsh_neardup,
-        "docs_simhash_neardup": _q_simhash_neardup,
+        # --- Gopher within-doc repetition filters (new component) ---
+        "docs_gopher_rep": _q_gopher_rep,
         # --- substring-level span dedup (new component) ---
         "docs_dup_spans": _q_dup_spans,
         "emb_knn": _q_knn,
@@ -1084,6 +1094,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_minhash_sigs": _q_minhash,
         "docs_token_count": _q_token_count,
         "docs_simhash": _q_simhash,
+        "docs_simhash_neardup": _q_simhash_neardup,
         "docs_quality": _q_quality,
         "docs_text_stats": _q_text_stats,
         "docs_langid": _q_langid,
@@ -1481,6 +1492,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "docs_token_count": TOKEN_COUNT_SQL,
         "docs_dup_spans": dup_spans_sql(8),
+        "docs_gopher_rep": GOPHER_REP_SQL,
         "docs_quality": quality_sql(STOPWORDS),
         "docs_langid": langid_sql(LANG_MARKERS),
         "docs_fingerprint": FINGERPRINT_SQL,

@@ -438,6 +438,30 @@ FROM documents d LEFT JOIN agg a USING (doc_id) LEFT JOIN cov c ON d.doc_id = c.
 """.strip()
 
 
+GOPHER_REP_SQL = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+g2 AS (SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS g
+       FROM w, UNNEST(generate_series(1, len(toks)-1)) AS t(i) WHERE len(toks) >= 2),
+g3 AS (SELECT doc_id, array_to_string(toks[i:i+2], ' ') AS g
+       FROM w, UNNEST(generate_series(1, len(toks)-2)) AS t(i) WHERE len(toks) >= 3),
+g5 AS (SELECT doc_id, i AS pos, array_to_string(toks[i:i+4], ' ') AS g
+       FROM w, UNNEST(generate_series(1, len(toks)-4)) AS t(i) WHERE len(toks) >= 5),
+t2 AS (SELECT doc_id, max(cnt) AS c FROM (SELECT doc_id, g, count(*) AS cnt FROM g2 GROUP BY 1,2) GROUP BY 1),
+t3 AS (SELECT doc_id, max(cnt) AS c FROM (SELECT doc_id, g, count(*) AS cnt FROM g3 GROUP BY 1,2) GROUP BY 1),
+r5k AS (SELECT doc_id, g FROM g5 GROUP BY doc_id, g HAVING count(*) >= 2),
+r5 AS (SELECT g5.doc_id, count(DISTINCT tp) AS c
+       FROM g5 JOIN r5k ON g5.doc_id = r5k.doc_id AND g5.g = r5k.g,
+            UNNEST(generate_series(g5.pos, g5.pos + 4)) AS u(tp)
+       GROUP BY 1)
+SELECT d.doc_id, len(string_split(d.text, ' '))::BIGINT AS n_tokens,
+  (10000 * 2 * COALESCE(t2.c, 0)) // len(string_split(d.text, ' ')) AS top2_bp,
+  (10000 * 3 * COALESCE(t3.c, 0)) // len(string_split(d.text, ' ')) AS top3_bp,
+  (10000 * COALESCE(r5.c, 0)) // len(string_split(d.text, ' ')) AS rep5_bp
+FROM documents d LEFT JOIN t2 USING (doc_id) LEFT JOIN t3 USING (doc_id)
+     LEFT JOIN r5 USING (doc_id)
+""".strip()
+
+
 QUALITY_SQL = """
 SELECT doc_id,
        len(string_split(text, ' '))::BIGINT AS n_tokens,

@@ -178,3 +178,98 @@ def top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
         .filter(F.col("rank") <= k)
         .select("doc_id", "word", "tf", F.col("rank").cast("int").alias("rank"))
     )
+
+
+def gopher_repetition(docs: DataFrame) -> DataFrame:
+    """Gopher-style within-document repetition filters (Rae et al.
+    2021, table A1), token-based: the signals that catch boilerplate /
+    TV-schedule / keyword-stuffed pages before LM training.
+
+    Output per document (integer basis points — hash-stable)::
+
+        (doc_id, n_tokens,
+         top2_bp,   # tokens covered by the single most frequent 2-gram
+         top3_bp,   # ... most frequent 3-gram
+         rep5_bp)   # tokens covered by ANY 5-gram repeated >=2 times
+                    # within the doc (overlaps collapse)
+
+    ``topN_bp = 10000 * N * max_count // n_tokens`` — the Gopher
+    "fraction of characters in most common n-gram" re-based on tokens.
+    ``rep5_bp`` is the "fraction in duplicated n-grams" analogue.
+
+    Scale: one flatMap explode per n, gram counts partial-aggregate on
+    (doc_id, md5-gram), rollups shuffle on doc_id only — per-document
+    work is bounded by document length; nothing is corpus-quadratic.
+    All JVM built-ins.
+    """
+    w = F.split(F.col("text"), " ")
+
+    def positioned(n: int):
+        idx = F.when(
+            F.size(w) >= n, F.sequence(F.lit(1), F.size(w) - (n - 1))
+        ).otherwise(F.array().cast("array<int>"))
+        gram = F.transform(
+            idx,
+            lambda i: F.struct(
+                i.alias("pos"),
+                F.md5(
+                    F.concat_ws(
+                        " ", *[F.element_at(w, i + j) for j in range(n)]
+                    ).cast("binary")
+                ).alias("g"),
+            ),
+        )
+        return docs.select(
+            "doc_id", F.explode(gram).alias("pg")
+        ).select("doc_id", F.col("pg.pos"), F.col("pg.g"))
+
+    def top_cnt(n: int, out: str):
+        # max within-doc multiplicity of any n-gram
+        return (
+            positioned(n)
+            .groupBy("doc_id", "g")
+            .agg(F.count("*").alias("cnt"))
+            .groupBy("doc_id")
+            .agg(F.max("cnt").alias(out))
+        )
+
+    g5 = positioned(5)
+    rep5_keys = (
+        g5.groupBy("doc_id", "g")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= 2)
+        .select("doc_id", "g")
+    )
+    rep5 = (
+        g5.join(rep5_keys, ["doc_id", "g"])
+        .groupBy("doc_id")
+        .agg(
+            F.size(
+                F.array_distinct(
+                    F.flatten(
+                        F.collect_list(F.sequence(F.col("pos"), F.col("pos") + 4))
+                    )
+                )
+            ).alias("rep5_tokens")
+        )
+    )
+
+    base = docs.select("doc_id", F.size(w).alias("n_tokens"))
+    out = (
+        base.join(top_cnt(2, "top2_cnt"), "doc_id", "left")
+        .join(top_cnt(3, "top3_cnt"), "doc_id", "left")
+        .join(rep5, "doc_id", "left")
+    )
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        (10000 * 2 * F.coalesce(F.col("top2_cnt"), F.lit(0)) / F.col("n_tokens"))
+        .cast("long")
+        .alias("top2_bp"),
+        (10000 * 3 * F.coalesce(F.col("top3_cnt"), F.lit(0)) / F.col("n_tokens"))
+        .cast("long")
+        .alias("top3_bp"),
+        (10000 * F.coalesce(F.col("rep5_tokens"), F.lit(0)) / F.col("n_tokens"))
+        .cast("long")
+        .alias("rep5_bp"),
+    )

@@ -240,3 +240,33 @@ def test_dup_ngram_spans_hand_computed(spark):
     assert got[3] == (4, 0, 0)
     # doc 4: shorter than n → zero row still present
     assert got[4] == (0, 0, 0)
+
+
+def test_gopher_repetition_hand_computed(spark):
+    from graphminer_spark.textops.quality import gopher_repetition
+
+    docs = spark.createDataFrame(
+        [
+            # 10 tokens; "a b" occurs 3x (top2), "a b c" 2x (top3),
+            # 5-gram "a b c a b" occurs at starts 1 and 4 → repeated,
+            # coverage tokens 1..8 = 8
+            (1, "a b c a b c a b x y"),
+            # no repetition at all: every n-gram unique (8 tokens)
+            (2, "p q r s t u v w"),
+            # shorter than 5 → rep5=0; top2 "m n" 1x of 3 tokens
+            (3, "m n o"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["top2_bp"], r["top3_bp"], r["rep5_bp"])
+        for r in gopher_repetition(docs).collect()
+    }
+    # doc 1: top2 = 10000*2*3//10 = 6000; top3: "a b c" 2x → 10000*3*2//10
+    # = 6000; rep5: "a b c a b"@1,4 and "b c a b c"@2,5 and "c a b c a"@3
+    # unique... wait "c a b c a" occurs once (start 3); starts 1..6:
+    #   1:"a b c a b" 4:"a b c a b" dup; 2:"b c a b c" 5:"b c a b x" no;
+    #   3:"c a b c a" 6:"c a b x y" no → dup starts {1,4} cover 1..8 = 8
+    assert got[1] == (10, 6000, 6000, 8000)
+    assert got[2] == (8, 2500, 3750, 0)
+    assert got[3] == (3, 6666, 10000, 0)
