@@ -87,6 +87,16 @@ def main() -> None:
 
     extras["ingest_edges"] = int(timed("ingest_32k_pages", _ingest, rep=True))
 
+    # ---- host-level rollup + weighted host PageRank (Common-Crawl
+    # host-graph recipe) over the same 32k synthetic pages
+    def _host_pr():
+        from graphminer_spark.sources.extract import host_pagerank
+
+        pages = generate_pages(spark, 1 << 15, seed=42)
+        return host_pagerank(pages, n_iter=5).count()
+
+    timed("host_pagerank_32k", _host_pr, extra=True)
+
     # ---- graph build (once, persisted — algorithms all consume it)
     def _build():
         edges = tpch_edges(spark, sf_dir).persist()

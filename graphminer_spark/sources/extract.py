@@ -89,3 +89,79 @@ def audit_id_collisions(vertices: DataFrame) -> int:
         (F.countDistinct("url") - F.countDistinct("id")).alias("c")
     ).collect()[0]
     return int(row["c"])
+
+
+# ------------------------------------------------------------- host graph
+
+def host_expr(url_col):
+    """JVM-side host extraction (``parse_url(..., 'HOST')``) — the
+    Common-Crawl host-graph key. No Python."""
+    return F.parse_url(url_col, F.lit("HOST"))
+
+
+def build_host_graph(pages: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Pages → host-level webgraph, the standard Common-Crawl rollup
+    (cf. the reference's coarsened-graph inputs, converters in
+    ``/root/reference/README.md:104-116``): ``hosts(host, n_pages)``
+    and weighted ``hedges(src_host, dst_host, w)`` where ``w`` counts
+    page-level links (href multiplicity kept — host-graph edge weight
+    IS the link count), intra-host links dropped, targets restricted
+    to hosts present in the corpus.
+
+    Scale: the rollup is one partial-aggregatable groupBy on
+    (src_host, dst_host) — at 10^12 pages the host graph is ~10^7
+    rows, so everything downstream (host PR, broadcast joins against
+    page-level tables) is dimension-table sized.
+    """
+    hosts = (
+        pages.select(host_expr(F.col("url")).alias("host"))
+        .groupBy("host")
+        .agg(F.count("*").alias("n_pages"))
+    )
+    pairs = (
+        extract_pages(pages)
+        .select(
+            host_expr(F.col("url")).alias("src_host"),
+            F.explode("hrefs").alias("t"),
+        )
+        .select("src_host", host_expr(F.col("t")).alias("dst_host"))
+    )
+    hedges = (
+        pairs.join(
+            hosts.select(F.col("host").alias("dst_host")),
+            "dst_host",
+            "left_semi",
+        )
+        .filter(F.col("src_host") != F.col("dst_host"))
+        .groupBy("src_host", "dst_host")
+        .agg(F.count("*").alias("w"))
+    )
+    return hosts, hedges
+
+
+def host_pagerank(
+    pages: DataFrame, damping: float = 0.85, n_iter: int = 5
+) -> DataFrame:
+    """Host-level weighted PageRank → ``(host, rank)``: rank splits
+    across host out-links proportionally to link count (the
+    Common-Crawl host-rank recipe), via :func:`pagerank_weighted` —
+    same fused superstep, dangling-mass redistribution and checkpoint
+    lineage as the page-level path."""
+    from graphminer_spark.algorithms.pagerank import pagerank_weighted
+
+    hosts, hedges = build_host_graph(pages)
+    # host table is dimension-sized — cut its lineage once so the
+    # superstep loop and the final name-join both reuse one pass
+    hosts = hosts.localCheckpoint(eager=True)
+    verts = hosts.select(F.xxhash64("host").alias("id"))
+    wedges = hedges.select(
+        F.xxhash64("src_host").alias("src"),
+        F.xxhash64("dst_host").alias("dst"),
+        "w",
+    )
+    ranks = pagerank_weighted(wedges, verts, damping, n_iter).ranks
+    return (
+        hosts.select("host", F.xxhash64("host").alias("id"))
+        .join(ranks, "id")
+        .select("host", "rank")
+    )

@@ -149,3 +149,60 @@ def test_textpipe_job_end_to_end(spark, tmp_path):
     kept = {r["doc_id"] for r in keep.collect()}
     assert len(kept) == n_docs - len(dropped)
     assert not (kept & dropped)
+
+
+def test_host_graph_rollup_and_pagerank(spark):
+    """Host-level rollup: weights reconstruct from a python replay of
+    the extraction spec, and host PageRank matches a dense numpy
+    power iteration at 1e-12."""
+    import numpy as np
+
+    from graphminer_spark.sources.extract import (
+        build_host_graph,
+        extract_hrefs,
+        host_pagerank,
+    )
+
+    pages = generate_pages(spark, 600, seed=7).persist()
+    hosts, hedges = build_host_graph(pages)
+    got_hosts = {r["host"]: r["n_pages"] for r in hosts.collect()}
+    got_edges = {
+        (r["src_host"], r["dst_host"]): r["w"] for r in hedges.collect()
+    }
+
+    # python replay of the spec on the raw html
+    raw = pages.select("url", "html").collect()
+    def host(u):
+        return u.split("//")[1].split("/")[0]
+    page_hosts = {host(r["url"]) for r in raw}
+    exp_hosts: dict[str, int] = {}
+    exp_edges: dict[tuple[str, str], int] = {}
+    for r in raw:
+        exp_hosts[host(r["url"])] = exp_hosts.get(host(r["url"]), 0) + 1
+        for t in extract_hrefs(r["html"].decode()):
+            s, d = host(r["url"]), host(t)
+            if s != d and d in page_hosts:
+                exp_edges[(s, d)] = exp_edges.get((s, d), 0) + 1
+    assert got_hosts == exp_hosts
+    assert got_edges == exp_edges
+
+    # dense mirror of pagerank_weighted semantics on the host graph
+    names = sorted(exp_hosts)
+    ix = {h: i for i, h in enumerate(names)}
+    n, iters, d = len(names), 5, 0.85
+    W = np.zeros((n, n))
+    for (s, t), w in exp_edges.items():
+        W[ix[s], ix[t]] = w
+    wout = W.sum(axis=1)
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        contrib = np.zeros(n)
+        nz = wout > 0
+        contrib = (r[nz] / wout[nz]) @ W[nz]
+        dang = r[~nz].sum()
+        r = (1 - d) / n + d * (contrib + dang / n)
+    got = {row["host"]: row["rank"] for row in host_pagerank(pages, n_iter=iters).collect()}
+    assert len(got) == n
+    for h in names:
+        assert abs(got[h] - r[ix[h]]) < 1e-12, h
+    pages.unpersist()
