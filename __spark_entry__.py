@@ -416,6 +416,16 @@ def _q_coreness(spark: SparkSession, sf_dir: str) -> DataFrame:
 BFS_SOURCE, BFS_ROUNDS = 0, 15
 
 
+def _q_anf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ANF / neighborhood-function curve (FM-sketch bit-OR supersteps)
+    # on the sparse scrambled graph — the only substrate here whose
+    # diameter exceeds the h range (dense variants saturate at h=2)
+    from graphminer_spark.algorithms.anf import neighborhood_function
+
+    edges = tpch_edges(spark, sf_dir, divisor=SPARSE_DIVISOR, scramble=True)
+    return neighborhood_function(symmetrize(edges, dedup=False), h_max=5)
+
+
 def _q_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = tpch_edges(spark, sf_dir, divisor=SPARSE_DIVISOR)
     return bfs_distances(symmetrize(edges, dedup=False), source=BFS_SOURCE)
@@ -1011,7 +1021,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lp_labels_2iter": _q_lp2,
         "graph_kcore": _q_kcore,
         "graph_coreness": _q_coreness,
-        "graph_bfs_dist": _q_bfs,
+        # --- ANF sketch supersteps (new component) ---
+        "graph_anf": _q_anf,
         "hits_5iter": _q_hits5,
         "graph_clustering": _q_clustering,
         "temporal_tri_count": _q_temporal_tri,
@@ -1077,6 +1088,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "path4_colorful": _q_path4_colorful,
         "clique8_total": _q_clique8,
         "graph_degree_hist": _q_degree_hist,
+        "graph_bfs_dist": _q_bfs,
         "graph_rev_label_index": _q_rev_label_index,
         "cc_sizes": _q_cc_sizes,
         "fsm_edge_support": _q_fsm_edges,
@@ -1114,6 +1126,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "olap_revenue_rollup": _q_rollup,
         "olap_status_pivot": _q_pivot,
     }
+
+
+def _anf_oracle() -> str:
+    from graphminer_spark.algorithms.anf import anf_sql
+    from graphminer_spark.oracle_sql import graph_ctes
+
+    return (
+        f"WITH {graph_ctes(divisor=SPARSE_DIVISOR, scramble=True)}, "
+        f"{anf_sql(5)}"
+    )
 
 
 def _path4_colorful_sql() -> str:
@@ -1383,6 +1405,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_bfs_dist": bfs_sql(
             BFS_SOURCE, BFS_ROUNDS, divisor=SPARSE_DIVISOR
         ),
+        "graph_anf": _anf_oracle(),
         "cc_components": CC_SQL,
         "cc_sizes": (
             f"WITH _cc AS ({CC_SQL}) "

@@ -188,6 +188,16 @@ def main() -> None:
     )
     timed("kcore_sparse", lambda: kcore(sparse_sym, k=7).count(), extra=True)
 
+    # ---- ANF curve: 5 FM-sketch bit-OR supersteps (PR-shaped shuffle,
+    # 8·k bytes of state per vertex) on the scrambled sparse graph
+    from graphminer_spark.algorithms.anf import neighborhood_function  # noqa: E402
+
+    timed(
+        "anf_h5_sparse",
+        lambda: neighborhood_function(scrambled_sym, h_max=5).collect(),
+        extra=True,
+    )
+
     from graphminer_spark.algorithms.kcore import core_numbers_hindex  # noqa: E402
     from graphminer_spark.algorithms.pagerank import personalized_pagerank  # noqa: E402
     from graphminer_spark.algorithms.triangles import (  # noqa: E402

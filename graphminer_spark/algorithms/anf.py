@@ -1,0 +1,165 @@
+"""Approximate neighborhood function (ANF) via Flajolet–Martin
+bit-sketch supersteps — Palmer/Gibbons/Faloutsos KDD'02, the
+HyperANF (Boldi–Vigna WWW'11) family with FM registers instead of
+HyperLogLog ones.
+
+``N(h)`` = number of (ordered) vertex pairs within distance ≤ h — the
+curve behind effective-diameter and closeness estimates on the link
+graph.  Exact N(h) needs an all-pairs BFS; the sketch version keeps
+one tiny fixed-size mask per vertex and runs h bit-OR supersteps:
+
+    mask_0(v)   = FM sketch of {v}
+    mask_h(v)   = mask_{h-1}(v)  |  OR over out-neighbors' mask_{h-1}
+
+so after h rounds ``mask_h(v)`` sketches exactly the ≤h-ball around v
+(sketch union ≡ set union — the property BFS-free distance estimation
+rests on).  |ball| is estimated per register from R = the lowest zero
+bit: E[2^R] ≈ 0.77351·|ball|.
+
+Everything is integer arithmetic on deterministic md5-derived hashes
+(same idiom as :mod:`.approx`), so the whole h-round dataflow has an
+exact unrolled SQL oracle — Spark and DuckDB agree bit-for-bit on
+every mask, something a seeded-RNG sketch could never offer.
+
+Scale: the superstep is one equi-join of the mask table against the
+edge table + a ``bit_or`` groupBy — identical shuffle shape to one
+PageRank iteration, with 8·k bytes of state per vertex, and the
+aggregate is partial-combinable (bit-OR is associative/commutative),
+so skewed high-degree vertices combine map-side.  The reference has
+no ANF analogue; this is parity-plus breadth for the link-graph tier
+(cf. ``/root/reference/src/centrality`` absence — closeness-style
+metrics are out of its scope).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+K_REGS = 4
+_PHI = 0.77351  # Flajolet–Martin bias correction
+
+
+def _fm_mask(id_col: Column, reg: int) -> Column:
+    """32-bit FM sketch of the singleton {id} for register ``reg``:
+    isolate the lowest set bit of a 32-bit md5 word (geometric with
+    ratio 1/2); the all-zero word (p = 2⁻³²) caps at bit 31."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.lit(str(reg)), id_col.cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return F.when(h == 0, F.lit(1 << 31)).otherwise(h.bitwiseAND(-h))
+
+
+def _low_zero(m: Column) -> Column:
+    """2^R where R = index of the lowest ZERO bit of mask ``m`` —
+    the FM occupancy estimate numerator. ``~m & -~m`` with
+    ``~m = -m-1`` (pure integer; identical expression in SQL)."""
+    t = -m - F.lit(1)
+    return t.bitwiseAND(-t)
+
+
+def neighborhood_function(
+    sym_edges: DataFrame, h_max: int = 3, k: int = K_REGS
+) -> DataFrame:
+    """ANF curve over a symmetric edge table → one row per radius::
+
+        (h, sum_pow, est_pairs_s)
+
+    ``sum_pow`` = Σ_v Σ_r 2^{R_r(v)} (exact integer — the oracle-checked
+    value); ``est_pairs_s`` = sum_pow / (k·0.77351) rendered ``%.4f`` —
+    the estimated number of ordered pairs within distance ≤ h.
+    """
+    edges = sym_edges.select("src", "dst")
+    verts = edges.select(F.col("src").alias("id")).distinct()
+    state = verts.select(
+        "id", *[_fm_mask(F.col("id"), r).alias(f"m{r}") for r in range(k)]
+    )
+    per_h = []
+    for h in range(1, h_max + 1):
+        nbr = (
+            state.join(edges, state["id"] == edges["src"])
+            .groupBy(F.col("dst").alias("id"))
+            .agg(*[F.bit_or(f"m{r}").alias(f"n{r}") for r in range(k)])
+        )
+        state = (
+            state.join(nbr, "id", "left")
+            .select(
+                "id",
+                *[
+                    F.coalesce(F.col(f"n{r}"), F.lit(0))
+                    .bitwiseOR(F.col(f"m{r}"))
+                    .alias(f"m{r}")
+                    for r in range(k)
+                ],
+            )
+            # cut superstep lineage (same lifecycle as the PR loop)
+            .localCheckpoint(eager=True)
+        )
+        agg = state.agg(
+            sum(
+                (F.sum(_low_zero(F.col(f"m{r}"))) for r in range(k)),
+                F.lit(0),
+            ).alias("sum_pow")
+        ).select(
+            F.lit(h).alias("h"),
+            F.col("sum_pow").cast("long").alias("sum_pow"),
+            F.format_string(
+                "%.4f", F.col("sum_pow") / F.lit(k * _PHI)
+            ).alias("est_pairs_s"),
+        )
+        per_h.append(agg)
+    out = per_h[0]
+    for df in per_h[1:]:
+        out = out.unionAll(df)
+    return out
+
+
+def anf_sql(h_max: int = 3, k: int = K_REGS) -> str:
+    """Unrolled DuckDB replay over the standard graph CTEs (``sym``
+    must be in scope): every mask, superstep and the final per-h sums
+    are bit-identical to :func:`neighborhood_function`."""
+
+    def mask(reg: int) -> str:
+        h32 = (
+            f"(('0x' || substr(md5('{reg}' || ':' || id::VARCHAR), 1, 8))"
+            "::BIGINT)"
+        )
+        return (
+            f"CASE WHEN {h32} = 0 THEN 2147483648 "
+            f"ELSE {h32} & (-{h32}) END"
+        )
+
+    ms = ", ".join(f"{mask(r)} AS m{r}" for r in range(k))
+    parts = [
+        "verts AS (SELECT DISTINCT src AS id FROM sym)",
+        f"anf0 AS MATERIALIZED (SELECT id, {ms} FROM verts)",
+    ]
+    for h in range(1, h_max + 1):
+        ors = ", ".join(f"bit_or(s.m{r}) AS m{r}" for r in range(k))
+        merged = ", ".join(
+            f"(s.m{r} | coalesce(n.m{r}, 0)) AS m{r}" for r in range(k)
+        )
+        parts.append(
+            f"nbr{h} AS MATERIALIZED (SELECT e.dst AS id, {ors} "
+            f"FROM sym e JOIN anf{h - 1} s ON s.id = e.src GROUP BY e.dst)"
+        )
+        parts.append(
+            f"anf{h} AS MATERIALIZED (SELECT s.id, {merged} "
+            f"FROM anf{h - 1} s LEFT JOIN nbr{h} n ON n.id = s.id)"
+        )
+    lowz = " + ".join(
+        f"((-m{r} - 1) & (-(-m{r} - 1)))" for r in range(k)
+    )
+    selects = [
+        f"SELECT {h} AS h, SUM({lowz})::BIGINT AS sum_pow, "
+        f"printf('%.4f', SUM({lowz}) / {k * _PHI}) AS est_pairs_s "
+        f"FROM anf{h}"
+        for h in range(1, h_max + 1)
+    ]
+    return ", ".join(parts) + " " + " UNION ALL ".join(selects)

@@ -376,3 +376,46 @@ def test_weighted_pagerank_vs_dense(spark):
     }
     for i in range(n):
         assert abs(a1[i] - a2[i]) < 1e-12
+
+
+def test_anf_matches_python_ball_replay(spark):
+    """ANF sketch supersteps == FM sketch of the exact BFS ball,
+    bit-for-bit (sketch-union ≡ set-union), on a random small graph."""
+    import hashlib
+    import random
+
+    from graphminer_spark.algorithms.anf import K_REGS, neighborhood_function
+
+    rng = random.Random(11)
+    n = 40
+    und = {(a, b) for a, b in (sorted(rng.sample(range(n), 2)) for _ in range(60))}
+    sym = [(a, b) for a, b in und] + [(b, a) for a, b in und]
+    df = spark.createDataFrame(sym, "src long, dst long")
+    got = {
+        r["h"]: r["sum_pow"]
+        for r in neighborhood_function(df, h_max=4).collect()
+    }
+
+    def fm(v, reg):
+        h = int(hashlib.md5(f"{reg}:{v}".encode()).hexdigest()[:8], 16)
+        return 1 << 31 if h == 0 else h & -h
+
+    adj = {v: set() for a, b in sym for v in (a, b)}
+    for a, b in sym:
+        adj[a].add(b)
+    verts = sorted(adj)
+    ball = {v: {v} for v in verts}
+    for h in range(1, 5):
+        ball = {
+            v: ball[v] | set().union(*(ball[u] for u in adj[v]))
+            for v in verts
+        }
+        exp = 0
+        for v in verts:
+            for r in range(K_REGS):
+                m = 0
+                for u in ball[v]:
+                    m |= fm(u, r)
+                t = ~m
+                exp += t & -t
+        assert got[h] == exp, h
