@@ -63,6 +63,7 @@ from graphminer_spark.oracle_sql import (
     FINGERPRINT_SQL,
     SIMHASH_SQL,
     GOPHER_REP_SQL,
+    contamination_sql,
     TOKEN_COUNT_SQL,
     dup_spans_sql,
     emb_neardup_sql,
@@ -681,6 +682,19 @@ def _q_gopher_rep(spark, sf_dir):
     return gopher_repetition(_docs(spark, sf_dir))
 
 
+def _q_contamination(spark, sf_dir):
+    # decontamination vs a deterministic pseudo-eval set (doc_id%50==0);
+    # eval gram table is broadcast — the train side never shuffles
+    from graphminer_spark.textops.dedup import contamination
+
+    docs = _docs(spark, sf_dir)
+    return contamination(
+        docs.filter(F.col("doc_id") % 50 != 0),
+        docs.filter(F.col("doc_id") % 50 == 0),
+        n=4,
+    )
+
+
 def _q_dup_spans(spark, sf_dir):
     # substring-level dedup signal (Lee et al. 2022): per-doc counts of
     # cross-document duplicated 8-gram positions + covered tokens
@@ -1057,7 +1071,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_stratified_sample": _q_stratified_sample,
         # --- corpus-trained trigram coverage scoring (new) ---
         "docs_lm_coverage": _q_lm_coverage,
-        "docs_lsh_neardup": _q_lsh_neardup,
+        # --- benchmark decontamination (new component) ---
+        "docs_contamination": _q_contamination,
         # --- Gopher within-doc repetition filters (new component) ---
         "docs_gopher_rep": _q_gopher_rep,
         # --- substring-level span dedup (new component) ---
@@ -1105,6 +1120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bip_degrees": _q_bip_degrees,
         "docs_minhash_sigs": _q_minhash,
         "docs_token_count": _q_token_count,
+        "docs_lsh_neardup": _q_lsh_neardup,
         "docs_simhash": _q_simhash,
         "docs_simhash_neardup": _q_simhash_neardup,
         "docs_quality": _q_quality,
@@ -1516,6 +1532,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_token_count": TOKEN_COUNT_SQL,
         "docs_dup_spans": dup_spans_sql(8),
         "docs_gopher_rep": GOPHER_REP_SQL,
+        "docs_contamination": contamination_sql(4, 50),
         "docs_quality": quality_sql(STOPWORDS),
         "docs_langid": langid_sql(LANG_MARKERS),
         "docs_fingerprint": FINGERPRINT_SQL,

@@ -438,6 +438,31 @@ FROM documents d LEFT JOIN agg a USING (doc_id) LEFT JOIN cov c ON d.doc_id = c.
 """.strip()
 
 
+def contamination_sql(n: int = 4, eval_mod: int = 50) -> str:
+    """Oracle for :func:`textops.dedup.contamination` with eval set =
+    ``doc_id % eval_mod == 0`` (train = the rest)."""
+    m = n - 1
+    return f"""
+WITH wtr AS (SELECT doc_id, string_split(text, ' ') AS toks
+             FROM documents WHERE doc_id % {eval_mod} <> 0),
+wev AS (SELECT doc_id, string_split(text, ' ') AS toks
+        FROM documents WHERE doc_id % {eval_mod} = 0),
+ev AS (SELECT DISTINCT array_to_string(toks[i:i+{m}], ' ') AS g
+       FROM wev, UNNEST(generate_series(1, len(toks)-{m})) t(i)
+       WHERE len(toks) >= {n}),
+tr AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+{m}], ' ') AS g
+       FROM wtr, UNNEST(generate_series(1, len(toks)-{m})) t(i)
+       WHERE len(toks) >= {n}),
+agg AS (SELECT tr.doc_id, COUNT(*)::BIGINT AS n_grams,
+               SUM(CASE WHEN ev.g IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS hit_grams
+        FROM tr LEFT JOIN ev USING (g) GROUP BY tr.doc_id)
+SELECT d.doc_id, COALESCE(a.n_grams, 0)::BIGINT AS n_grams,
+       COALESCE(a.hit_grams, 0)::BIGINT AS hit_grams
+FROM (SELECT doc_id FROM documents WHERE doc_id % {eval_mod} <> 0) d
+LEFT JOIN agg a USING (doc_id)
+""".strip()
+
+
 GOPHER_REP_SQL = """
 WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
 g2 AS (SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS g

@@ -363,3 +363,43 @@ def dup_ngram_spans(docs: DataFrame, n: int = 8) -> DataFrame:
             .alias("dup_tokens"),
         )
     )
+
+
+def contamination(
+    docs: DataFrame, eval_docs: DataFrame, n: int = NGRAM
+) -> DataFrame:
+    """Benchmark decontamination (GPT-3 appx. C / PaLM style): for
+    every training document, count its distinct word ``n``-grams that
+    also occur anywhere in the evaluation set → ``(doc_id, n_grams,
+    hit_grams)``; ``hit_grams > 0`` marks a doc for removal.
+
+    Scale: the eval side is benchmark-sized (thousands of docs), so
+    its distinct-gram table is **broadcast** — the 100 TB train side
+    never shuffles; each scan partition probes the in-memory gram set
+    map-side and pre-aggregates per doc. Grams travel as md5 keys
+    (fixed width) exactly like :func:`dup_ngram_spans`.
+    """
+    train = with_shingles(docs, n).select(
+        "doc_id", F.md5(F.col("shingle").cast("binary")).alias("g")
+    )
+    eval_g = (
+        with_shingles(eval_docs, n)
+        .select(F.md5(F.col("shingle").cast("binary")).alias("g"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    per_doc = train.join(F.broadcast(eval_g), "g", "left").groupBy(
+        "doc_id"
+    ).agg(
+        F.count("*").alias("n_grams"),
+        F.coalesce(F.sum("hit"), F.lit(0)).alias("hit_grams"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_grams"), F.lit(0)).alias("n_grams"),
+            F.coalesce(F.col("hit_grams"), F.lit(0)).alias("hit_grams"),
+        )
+    )

@@ -270,3 +270,21 @@ def test_gopher_repetition_hand_computed(spark):
     assert got[1] == (10, 6000, 6000, 8000)
     assert got[2] == (8, 2500, 3750, 0)
     assert got[3] == (3, 6666, 10000, 0)
+
+
+def test_contamination_hand_computed_and_broadcast(spark):
+    from graphminer_spark.textops.dedup import contamination
+
+    train = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "z z z z"), (3, "a b")],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame([(100, "x a b c y")], "doc_id long, text string")
+    out = contamination(train, ev, n=3)
+    got = {r["doc_id"]: (r["n_grams"], r["hit_grams"]) for r in out.collect()}
+    # train doc 1 grams: (a b c)(b c d)(c d e); eval has (x a b)(a b c)
+    # (b c y) → one hit. doc 2: (z z z) ×2 distinct→1 gram, 0 hits.
+    # doc 3: too short → zero row kept.
+    assert got == {1: (3, 1), 2: (1, 0), 3: (0, 0)}
+    # eval side must broadcast — the train side never shuffles on gram
+    assert "BroadcastHashJoin" in out._jdf.queryExecution().executedPlan().toString()
