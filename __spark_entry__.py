@@ -427,6 +427,15 @@ def _q_anf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neighborhood_function(symmetrize(edges, dedup=False), h_max=5)
 
 
+def _q_eff_diam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # HyperANF effective diameter from the same sketch curve (h=0
+    # anchored interpolation)
+    from graphminer_spark.algorithms.anf import effective_diameter
+
+    edges = tpch_edges(spark, sf_dir, divisor=SPARSE_DIVISOR, scramble=True)
+    return effective_diameter(symmetrize(edges, dedup=False), h_max=5)
+
+
 def _q_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = tpch_edges(spark, sf_dir, divisor=SPARSE_DIVISOR)
     return bfs_distances(symmetrize(edges, dedup=False), source=BFS_SOURCE)
@@ -1104,6 +1113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clique8_total": _q_clique8,
         "graph_degree_hist": _q_degree_hist,
         "graph_bfs_dist": _q_bfs,
+        "graph_eff_diam": _q_eff_diam,
         "graph_rev_label_index": _q_rev_label_index,
         "cc_sizes": _q_cc_sizes,
         "fsm_edge_support": _q_fsm_edges,
@@ -1151,6 +1161,16 @@ def _anf_oracle() -> str:
     return (
         f"WITH {graph_ctes(divisor=SPARSE_DIVISOR, scramble=True)}, "
         f"{anf_sql(5)}"
+    )
+
+
+def _eff_diam_oracle() -> str:
+    from graphminer_spark.algorithms.anf import eff_diam_sql
+    from graphminer_spark.oracle_sql import graph_ctes
+
+    return (
+        f"WITH {graph_ctes(divisor=SPARSE_DIVISOR, scramble=True)}, "
+        f"{eff_diam_sql(5)}"
     )
 
 
@@ -1422,6 +1442,7 @@ def oracle_sql() -> dict[str, str]:
             BFS_SOURCE, BFS_ROUNDS, divisor=SPARSE_DIVISOR
         ),
         "graph_anf": _anf_oracle(),
+        "graph_eff_diam": _eff_diam_oracle(),
         "cc_components": CC_SQL,
         "cc_sizes": (
             f"WITH _cc AS ({CC_SQL}) "

@@ -65,7 +65,10 @@ def _low_zero(m: Column) -> Column:
 
 
 def neighborhood_function(
-    sym_edges: DataFrame, h_max: int = 3, k: int = K_REGS
+    sym_edges: DataFrame,
+    h_max: int = 3,
+    k: int = K_REGS,
+    include_h0: bool = False,
 ) -> DataFrame:
     """ANF curve over a symmetric edge table → one row per radius::
 
@@ -80,7 +83,22 @@ def neighborhood_function(
     state = verts.select(
         "id", *[_fm_mask(F.col("id"), r).alias(f"m{r}") for r in range(k)]
     )
-    per_h = []
+
+    def curve_row(h: int, st: DataFrame) -> DataFrame:
+        return st.agg(
+            sum(
+                (F.sum(_low_zero(F.col(f"m{r}"))) for r in range(k)),
+                F.lit(0),
+            ).alias("sum_pow")
+        ).select(
+            F.lit(h).alias("h"),
+            F.col("sum_pow").cast("long").alias("sum_pow"),
+            F.format_string(
+                "%.4f", F.col("sum_pow") / F.lit(k * _PHI)
+            ).alias("est_pairs_s"),
+        )
+
+    per_h = [curve_row(0, state)] if include_h0 else []
     for h in range(1, h_max + 1):
         nbr = (
             state.join(edges, state["id"] == edges["src"])
@@ -101,19 +119,7 @@ def neighborhood_function(
             # cut superstep lineage (same lifecycle as the PR loop)
             .localCheckpoint(eager=True)
         )
-        agg = state.agg(
-            sum(
-                (F.sum(_low_zero(F.col(f"m{r}"))) for r in range(k)),
-                F.lit(0),
-            ).alias("sum_pow")
-        ).select(
-            F.lit(h).alias("h"),
-            F.col("sum_pow").cast("long").alias("sum_pow"),
-            F.format_string(
-                "%.4f", F.col("sum_pow") / F.lit(k * _PHI)
-            ).alias("est_pairs_s"),
-        )
-        per_h.append(agg)
+        per_h.append(curve_row(h, state))
     out = per_h[0]
     for df in per_h[1:]:
         out = out.unionAll(df)
@@ -163,3 +169,75 @@ def anf_sql(h_max: int = 3, k: int = K_REGS) -> str:
         for h in range(1, h_max + 1)
     ]
     return ", ".join(parts) + " " + " UNION ALL ".join(selects)
+
+
+def effective_diameter(
+    sym_edges: DataFrame,
+    h_max: int = 5,
+    alpha: float = 0.9,
+    k: int = K_REGS,
+) -> DataFrame:
+    """HyperANF-style effective diameter: the interpolated radius at
+    which the neighborhood function reaches ``alpha`` of its value at
+    ``h_max`` → one row ``(h_max, target_s, eff_diam_s)``.
+
+    Uses the exact integer ``sum_pow`` curve (h=0 included — the
+    singleton baseline anchors the interpolation), crossing found with
+    a lag window over the (h_max+1)-row curve; linear interpolation
+    between the bracketing radii, the Boldi–Vigna convention."""
+    curve = neighborhood_function(sym_edges, h_max, k, include_h0=True)
+    from pyspark.sql import Window
+
+    # h_max+1 rows — a single-partition window is the right plan here
+    w = Window.orderBy("h")
+    tgt = (
+        curve.filter(F.col("h") == h_max)
+        .select((F.lit(alpha) * F.col("sum_pow")).alias("t"))
+    )
+    lagged = curve.withColumn("prev", F.lag("sum_pow").over(w))
+    cross = (
+        lagged.crossJoin(F.broadcast(tgt))
+        .filter(F.col("sum_pow") >= F.col("t"))
+        .orderBy("h")
+        .limit(1)
+    )
+    return cross.select(
+        F.lit(h_max).alias("h_max"),
+        F.format_string("%.4f", F.col("t")).alias("target_s"),
+        F.format_string(
+            "%.4f",
+            F.when(F.col("prev").isNull(), F.col("h").cast("double"))
+            .otherwise(
+                F.col("h")
+                - 1
+                + (F.col("t") - F.col("prev"))
+                / (F.col("sum_pow") - F.col("prev"))
+            ),
+        ).alias("eff_diam_s"),
+    )
+
+
+def eff_diam_sql(h_max: int = 5, alpha: float = 0.9, k: int = K_REGS) -> str:
+    """DuckDB replay of :func:`effective_diameter` (CTE list fragment;
+    ``sym`` must be in scope — compose after ``graph_ctes()``)."""
+    lowz = " + ".join(f"((-m{r} - 1) & (-(-m{r} - 1)))" for r in range(k))
+    base = anf_sql(h_max, k)
+    # anf_sql ends with the per-h UNION ALL selects (h=1..h_max); wrap
+    # them as a curve CTE and prepend the h=0 row
+    ctes, selects = base.split(" SELECT 1 AS h,", 1)
+    selects = "SELECT 1 AS h," + selects
+    return (
+        f"{ctes}, curve AS MATERIALIZED ("
+        f"SELECT 0 AS h, SUM({lowz})::BIGINT AS sum_pow, "
+        f"printf('%.4f', SUM({lowz}) / {k * _PHI}) AS est_pairs_s "
+        f"FROM anf0 UNION ALL {selects}), "
+        f"tgt AS (SELECT {alpha} * sum_pow AS t FROM curve WHERE h = {h_max}), "
+        f"lagged AS (SELECT h, sum_pow, lag(sum_pow) OVER (ORDER BY h) AS prev "
+        f"FROM curve), "
+        f"x AS (SELECT h, sum_pow, prev, t FROM lagged, tgt "
+        f"WHERE sum_pow >= t ORDER BY h LIMIT 1) "
+        f"SELECT {h_max} AS h_max, printf('%.4f', t) AS target_s, "
+        f"printf('%.4f', CASE WHEN prev IS NULL THEN h::DOUBLE "
+        f"ELSE h - 1 + (t - prev) / (sum_pow - prev) END) AS eff_diam_s "
+        f"FROM x"
+    )

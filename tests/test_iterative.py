@@ -419,3 +419,28 @@ def test_anf_matches_python_ball_replay(spark):
                 t = ~m
                 exp += t & -t
         assert got[h] == exp, h
+
+
+def test_effective_diameter_path_graph(spark):
+    """On a 7-path the interpolated effective diameter must land
+    inside (0, 6] and the h=0-anchored curve must be monotone."""
+    from graphminer_spark.algorithms.anf import (
+        effective_diameter,
+        neighborhood_function,
+    )
+
+    und = [(i, i + 1) for i in range(6)]
+    sym = und + [(b, a) for a, b in und]
+    df = spark.createDataFrame(sym, "src long, dst long")
+    curve = [
+        r["sum_pow"]
+        for r in neighborhood_function(df, h_max=6, include_h0=True)
+        .orderBy("h")
+        .collect()
+    ]
+    assert all(a <= b for a, b in zip(curve, curve[1:]))
+    assert curve[-1] > curve[0]
+    eff = float(
+        effective_diameter(df, h_max=6).collect()[0]["eff_diam_s"]
+    )
+    assert 0.0 < eff <= 6.0
