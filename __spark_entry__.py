@@ -691,6 +691,26 @@ def _q_gopher_rep(spark, sf_dir):
     return gopher_repetition(_docs(spark, sf_dir))
 
 
+def _q_url_normalize(spark, sf_dir):
+    # RFC 3986 canonicalization over messy synthetic URLs (case, :443,
+    # ./ and ../ segments, fragment) built from doc_id; the oracle
+    # states the canonical form directly
+    from graphminer_spark.sources.extract import normalize_url
+
+    messy = F.concat(
+        F.lit("HTTPS://Site"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".Example:443/a/./b/../p"),
+        F.col("doc_id").cast("string"),
+        F.lit("?q="),
+        (F.col("doc_id") % 3).cast("string"),
+        F.lit("#frag"),
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id", normalize_url(messy).alias("norm_url")
+    )
+
+
 def _q_contamination(spark, sf_dir):
     # decontamination vs a deterministic pseudo-eval set (doc_id%50==0);
     # eval gram table is broadcast — the train side never shuffles
@@ -1074,7 +1094,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- SgL representatives (rotated: taileddiamond — first-ever
         # driver row — and dumbbell, last checked r02) ---
         "sgl_taileddiamond": _mk_sgl_query("taileddiamond"),
-        "sgl_dumbbell": _mk_sgl_query("dumbbell"),
+        # --- URL canonicalization (new component; ingest-side) ---
+        "docs_url_normalize": _q_url_normalize,
         # --- one row per LLM-pipeline family (rotated variants) ---
         # --- deterministic training-mixture samplers (new) ---
         "docs_stratified_sample": _q_stratified_sample,
@@ -1113,6 +1134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clique8_total": _q_clique8,
         "graph_degree_hist": _q_degree_hist,
         "graph_bfs_dist": _q_bfs,
+        "sgl_dumbbell": _mk_sgl_query("dumbbell"),
         "graph_eff_diam": _q_eff_diam,
         "graph_rev_label_index": _q_rev_label_index,
         "cc_sizes": _q_cc_sizes,
@@ -1554,6 +1576,11 @@ def oracle_sql() -> dict[str, str]:
         "docs_dup_spans": dup_spans_sql(8),
         "docs_gopher_rep": GOPHER_REP_SQL,
         "docs_contamination": contamination_sql(4, 50),
+        "docs_url_normalize": (
+            "SELECT doc_id, 'https://site' || (doc_id % 7)::VARCHAR || "
+            "'.example/a/p' || doc_id::VARCHAR || '?q=' || "
+            "(doc_id % 3)::VARCHAR AS norm_url FROM documents"
+        ),
         "docs_quality": quality_sql(STOPWORDS),
         "docs_langid": langid_sql(LANG_MARKERS),
         "docs_fingerprint": FINGERPRINT_SQL,

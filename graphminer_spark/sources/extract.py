@@ -165,3 +165,48 @@ def host_pagerank(
         .join(ranks, "id")
         .select("host", "rank")
     )
+
+
+def normalize_url(url_col) -> "F.Column":
+    """RFC 3986-style URL canonicalization, entirely JVM-side (no
+    Python, no UDF): lowercase scheme+host, strip fragment and
+    default ports (:80/:443), drop trailing ``?``, resolve ``.`` /
+    ``..`` path segments with an ``F.aggregate`` fold over the split
+    path (the array-programming analogue of the usual imperative
+    stack walk).
+
+    Common-Crawl link graphs canonicalize before hashing — without
+    this, ``a/b/../c`` and ``a/c`` become two vertices and the graph
+    silently doubles.
+    """
+    c = F.trim(url_col)
+    # fragment, then empty query
+    c = F.regexp_replace(c, r"#.*$", "")
+    c = F.regexp_replace(c, r"\?$", "")
+    scheme = F.lower(F.regexp_extract(c, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    authority = F.lower(F.regexp_extract(c, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    authority = F.regexp_replace(authority, r":(80|443)$", "")
+    rest = F.regexp_extract(c, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$", 1)
+    path = F.regexp_extract(rest, r"^([^?]*)", 1)
+    query = F.regexp_extract(rest, r"^[^?]*(\?.*)?$", 1)
+    # dot-segment removal: fold segments through an array stack
+    segs = F.split(path, "/")
+    stack = F.aggregate(
+        segs,
+        F.array().cast("array<string>"),
+        lambda acc, s: F.when(s == ".", acc)
+        .when(
+            s == "..",
+            # pop unless the stack is just the leading-root marker
+            F.when(F.size(acc) > 1, F.slice(acc, 1, F.size(acc) - 1)).otherwise(acc),
+        )
+        .otherwise(F.concat(acc, F.array(s))),
+    )
+    norm_path = F.concat_ws("/", stack)
+    # a non-empty path always starts at root; bare authority keeps ""
+    norm_path = F.when(
+        (path != "") & ~norm_path.startswith("/"), F.concat(F.lit("/"), norm_path)
+    ).otherwise(norm_path)
+    return F.when(
+        scheme == "", c  # not an absolute http(s)-style URL: leave as-is
+    ).otherwise(F.concat(scheme, F.lit("://"), authority, norm_path, query))

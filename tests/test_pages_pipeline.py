@@ -206,3 +206,22 @@ def test_host_graph_rollup_and_pagerank(spark):
     for h in names:
         assert abs(got[h] - r[ix[h]]) < 1e-12, h
     pages.unpersist()
+
+
+def test_normalize_url_rfc_cases(spark):
+    from graphminer_spark.sources.extract import normalize_url
+
+    cases = [
+        ("HTTPS://Site7.Example:443/a/b/../c?q=1#frag", "https://site7.example/a/c?q=1"),
+        ("http://h.example:80/./x/./y/../z", "http://h.example/x/z"),
+        ("https://h.example/..", "https://h.example/"),
+        ("https://h.example/a/b/", "https://h.example/a/b/"),
+        ("https://h.example", "https://h.example"),
+        ("https://h.example/p?", "https://h.example/p"),
+        ("https://h.example:8080/p", "https://h.example:8080/p"),
+        ("relative/path", "relative/path"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r["n"] for r in df.select(normalize_url(F.col("url")).alias("n")).collect()]
+    for (u, want), g in zip(cases, got):
+        assert g == want, (u, g, want)
