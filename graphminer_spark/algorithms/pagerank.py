@@ -61,11 +61,17 @@ def pagerank(
     checkpointer: CheckpointManager | None = None,
     resume: bool = False,
     lineage_every: int = 1,
+    init_ranks: DataFrame | None = None,
 ) -> PageRankResult:
     """Directed PageRank over ``edges(src,dst)`` / ``vertices(id)``.
 
     Returns ranks summing to 1.0. ``resume=True`` continues from the
     checkpointer's latest durable state (north-rule resumability).
+    ``init_ranks(id, rank)`` warm-starts on a *changed* graph
+    (incremental PR after edge deltas): previous ranks seed existing
+    vertices, new vertices get 1/n, the vector renormalizes, and
+    degrees re-derive from the current edges — typically a fraction of
+    the cold-start iterations to the same tolerance.
     ``lineage_every`` > 1 (fixed-iteration dangling-free fast path
     only) truncates lineage every K supersteps instead of every one —
     fewer barrier jobs; plan depth stays bounded at K supersteps.
@@ -94,7 +100,28 @@ def pagerank(
             start_iter, state = latest
             if "out_deg" not in state.columns:  # older checkpoint layout
                 state = state.join(verts, "id")
-    if state is None:
+    if state is None and init_ranks is not None:
+        # incremental warm start on a (possibly changed) graph: seed
+        # existing vertices with their previous rank, new vertices with
+        # 1/n, renormalize to sum 1; out_deg comes from the CURRENT
+        # edge table (stale degrees would mis-split rank — the reason
+        # plain resume= is wrong across graph deltas)
+        seeded = verts.join(
+            init_ranks.select("id", F.col("rank").alias("r0")), "id", "left"
+        ).select(
+            "id", F.coalesce("r0", F.lit(1.0 / n)).alias("r0"), "out_deg"
+        )
+        total = float(seeded.agg(F.sum("r0")).collect()[0][0])
+        state = seeded.select(
+            "id", (F.col("r0") / total).alias("rank"), "out_deg"
+        )
+        state = ckpt.save(state, 0, {"algo": "pagerank", "delta": float("inf")})
+        dangling = float(
+            state.filter(F.col("out_deg") == 0)
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+            .collect()[0][0]
+        )
+    elif state is None:
         state = verts.select("id", F.lit(1.0 / n).alias("rank"), "out_deg")
         state = ckpt.save(state, 0, {"algo": "pagerank", "delta": float("inf")})
         dangling = n_dangling / n

@@ -444,3 +444,34 @@ def test_effective_diameter_path_graph(spark):
         effective_diameter(df, h_max=6).collect()[0]["eff_diam_s"]
     )
     assert 0.0 < eff <= 6.0
+
+
+def test_pagerank_incremental_warm_start(spark):
+    """Warm-starting from the pre-delta converged ranks reaches the
+    same fixpoint as a cold run on the changed graph, in fewer
+    iterations."""
+    import random
+
+    from graphminer_spark.algorithms.pagerank import pagerank
+
+    rng = random.Random(3)
+    n = 120
+    base = {(rng.randrange(n), rng.randrange(n)) for _ in range(400)}
+    base = [(a, b) for a, b in base if a != b]
+    delta = [(0, 119), (119, 1), (5, 117), (117, 5), (60, 61)]
+    verts = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    g0 = spark.createDataFrame(base, "src long, dst long")
+    g1 = spark.createDataFrame(
+        sorted(set(base) | set(delta)), "src long, dst long"
+    )
+
+    r0 = pagerank(g0, verts, tol=1e-10, max_iter=100)
+    cold = pagerank(g1, verts, tol=1e-10, max_iter=100)
+    warm = pagerank(
+        g1, verts, tol=1e-10, max_iter=100, init_ranks=r0.ranks
+    )
+    assert warm.iterations < cold.iterations, (warm.iterations, cold.iterations)
+    c = {r["id"]: r["rank"] for r in cold.ranks.collect()}
+    w = {r["id"]: r["rank"] for r in warm.ranks.collect()}
+    for i in range(n):
+        assert abs(c[i] - w[i]) < 1e-8, i
