@@ -78,7 +78,11 @@ def neighborhood_function(
     value); ``est_pairs_s`` = sum_pow / (k·0.77351) rendered ``%.4f`` —
     the estimated number of ordered pairs within distance ≤ h.
     """
-    edges = sym_edges.select("src", "dst")
+    # edges partitioned by the join key ONCE and persisted — without
+    # this every superstep re-scans and re-shuffles the edge table
+    # (measured 2.6 s/superstep vs PageRank's 0.44 s before the fix)
+    edges = sym_edges.select("src", "dst").repartition("src").persist()
+    edges.count()
     verts = edges.select(F.col("src").alias("id")).distinct()
     state = verts.select(
         "id", *[_fm_mask(F.col("id"), r).alias(f"m{r}") for r in range(k)]
@@ -123,6 +127,10 @@ def neighborhood_function(
     out = per_h[0]
     for df in per_h[1:]:
         out = out.unionAll(df)
+    # curve rows are already materialized scalar aggregates of the
+    # eagerly-checkpointed states — safe to release the edge cache
+    out = out.localCheckpoint(eager=True)
+    edges.unpersist()
     return out
 
 
