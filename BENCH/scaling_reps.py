@@ -140,14 +140,11 @@ def main() -> None:
     )
     with open(os.path.join(REPO, "BENCH", "scaling_reps.json"), "w") as f:
         json.dump({"levels": results, "efficiency": effs}, f, indent=2)
-    path = os.path.join(REPO, "BENCH", "BASELINE.md")
-    with open(path) as f:
-        base = f.read()
-    marker = "\n## Suite repetition protocol"
-    if marker in base:
-        base = base[: base.index(marker)]
-    with open(path, "w") as f:
-        f.write(base.rstrip() + "\n" + "\n".join(md) + "\n")
+    # NEVER edits BENCH/BASELINE.md: session tables are merged into the
+    # curated cross-session record by hand (a blind truncate-rewrite
+    # once deleted the A-F history). The markdown goes to a sidecar.
+    with open(os.path.join(REPO, "BENCH", "scaling_reps_latest.md"), "w") as f:
+        f.write("\n".join(md) + "\n")
     print("\n".join(md))
 
 
