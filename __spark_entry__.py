@@ -711,6 +711,44 @@ def _q_url_normalize(spark, sf_dir):
     )
 
 
+def _q_pii_scrub(spark, sf_dir):
+    # PII scrub over deterministically-injected email/phone/IPv4 —
+    # map-only regexp pass, md5 witness of the scrubbed bytes
+    from graphminer_spark.textops.pii import pii_scrub
+
+    messy = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.lit("contact u"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-01"),
+            (F.col("doc_id") % 100).cast("string"),
+            F.lit(" at 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".1 "),
+            F.col("text"),
+        ).alias("text"),
+    )
+    return pii_scrub(messy)
+
+
+def _q_ev_props_json(spark, sf_dir):
+    # JSON property extraction (get_json_object — JVM-side path query)
+    # rolled up per event type
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
 def _q_contamination(spark, sf_dir):
     # decontamination vs a deterministic pseudo-eval set (doc_id%50==0);
     # eval gram table is broadcast — the train side never shuffles
@@ -1059,7 +1097,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tc_per_edge": _q_tc_per_edge,
         "tc_approx": _q_tc_approx,
         "pagerank_5iter": _q_pagerank5,
-        "wpr_5iter": _q_wpr5,
+        # --- PII redaction (new component) ---
+        "docs_pii_scrub": _q_pii_scrub,
         "cc_components": _q_cc,
         "lp_labels_2iter": _q_lp2,
         "graph_kcore": _q_kcore,
@@ -1118,7 +1157,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_jpeg_pixel_stats": _q_mm_jpeg_stats,
         "mm_gif_frame_stats": _q_mm_gif_stats,
         # --- events + OLAP (rotated variants) ---
-        "ev_sessions": _q_ev_sessions,
+        # --- JSON property parsing (new component) ---
+        "ev_props_json": _q_ev_props_json,
         "olap_top_parts": _q_top_parts,
         # ---------------- past the 50-entry driver cap ----------------
         "tc_total_2d": _q_tc_2d,
@@ -1133,6 +1173,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "path4_colorful": _q_path4_colorful,
         "clique8_total": _q_clique8,
         "graph_degree_hist": _q_degree_hist,
+        "wpr_5iter": _q_wpr5,
+        "ev_sessions": _q_ev_sessions,
         "graph_bfs_dist": _q_bfs,
         "sgl_dumbbell": _mk_sgl_query("dumbbell"),
         "graph_eff_diam": _q_eff_diam,
@@ -1174,6 +1216,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "olap_revenue_rollup": _q_rollup,
         "olap_status_pivot": _q_pivot,
     }
+
+
+def _pii_oracle() -> str:
+    from graphminer_spark.textops.pii import pii_scrub_sql
+
+    messy = (
+        "'contact u' || doc_id::VARCHAR || '@example.com or 555-01' || "
+        "(doc_id % 100)::VARCHAR || ' at 10.0.' || "
+        "(doc_id % 256)::VARCHAR || '.1 ' || text"
+    )
+    return pii_scrub_sql(messy)
 
 
 def _anf_oracle() -> str:
@@ -1576,6 +1629,14 @@ def oracle_sql() -> dict[str, str]:
         "docs_dup_spans": dup_spans_sql(8),
         "docs_gopher_rep": GOPHER_REP_SQL,
         "docs_contamination": contamination_sql(4, 50),
+        "docs_pii_scrub": _pii_oracle(),
+        "ev_props_json": """
+SELECT event_type, COUNT(*)::BIGINT AS n_events,
+       SUM(json_extract(props, '$.k')::BIGINT)::BIGINT AS sum_k,
+       MIN(json_extract(props, '$.k')::BIGINT)::BIGINT AS min_k,
+       MAX(json_extract(props, '$.k')::BIGINT)::BIGINT AS max_k
+FROM events GROUP BY event_type
+""".strip(),
         "docs_url_normalize": (
             "SELECT doc_id, 'https://site' || (doc_id % 7)::VARCHAR || "
             "'.example/a/p' || doc_id::VARCHAR || '?q=' || "

@@ -288,3 +288,29 @@ def test_contamination_hand_computed_and_broadcast(spark):
     assert got == {1: (3, 1), 2: (1, 0), 3: (0, 0)}
     # eval side must broadcast — the train side never shuffles on gram
     assert "BroadcastHashJoin" in out._jdf.queryExecution().executedPlan().toString()
+
+
+def test_pii_scrub_hand_computed(spark):
+    from graphminer_spark.textops.pii import pii_scrub
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@sub.ex.org or 555-0199 from 192.168.0.12 end"),
+            (2, "no pii here at all"),
+            (3, "two mails x@y.com z@w.net and ip 1.2.3.4"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_emails"], r["n_phones"], r["n_ips"])
+        for r in pii_scrub(docs).collect()
+    }
+    assert got == {1: (1, 1, 1), 2: (0, 0, 0), 3: (2, 0, 1)}
+    # scrubbed text itself
+    from graphminer_spark.textops.pii import scrub_expr
+    from pyspark.sql import functions as F
+
+    out = docs.filter("doc_id = 1").select(
+        scrub_expr(F.col("text")).alias("t")
+    ).collect()[0]["t"]
+    assert out == "mail <EMAIL> or <PHONE> from <IP> end"
