@@ -195,3 +195,32 @@ def test_new_ops_plans_stay_jvm_side(spark):
     sym = symmetrize(edges, dedup=False)
     cn = core_numbers_hindex(sym, max_iter=1)
     assert "BatchEvalPython" not in _plan(cn)
+
+
+def test_round5_ops_plans_stay_jvm_side(spark):
+    """Round-5 operators — span dedup, Gopher filters, ANF superstep,
+    URL normalization, PII scrub — are all JVM expression dataflows:
+    no BatchEvalPython anywhere."""
+    from graphminer_spark.algorithms.anf import neighborhood_function
+    from graphminer_spark.sources.extract import normalize_url
+    from graphminer_spark.textops.dedup import dup_ngram_spans
+    from graphminer_spark.textops.pii import pii_scrub
+    from graphminer_spark.textops.quality import gopher_repetition
+    from tests.conftest import edges_df
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h i"), (2, "a b c d e f g h j")],
+        "doc_id long, text string",
+    )
+    for df in (
+        dup_ngram_spans(docs, n=4),
+        gopher_repetition(docs),
+        pii_scrub(docs),
+        docs.select(normalize_url(F.col("text")).alias("n")),
+    ):
+        plan = _plan(df)
+        assert "BatchEvalPython" not in plan, plan[:600]
+
+    edges = edges_df(spark, [(0, 1), (1, 2), (2, 3)])
+    sym = edges.unionAll(edges.selectExpr("dst as src", "src as dst"))
+    assert "BatchEvalPython" not in _plan(neighborhood_function(sym, 2))
