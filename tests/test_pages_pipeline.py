@@ -225,3 +225,53 @@ def test_normalize_url_rfc_cases(spark):
     got = [r["n"] for r in df.select(normalize_url(F.col("url")).alias("n")).collect()]
     for (u, want), g in zip(cases, got):
         assert g == want, (u, g, want)
+
+
+def test_snapshot_sink_time_travel_lineage_pruning(spark, tmp_path):
+    """Versioned results sink: immutable snapshots, atomic current
+    pointer, time travel, parent-chain lineage and manifest-statistics
+    file pruning."""
+    from graphminer_spark.sinks import (
+        current_snapshot_id,
+        prune_files,
+        read_manifest,
+        read_snapshot,
+        snapshot_lineage,
+        write_snapshot,
+    )
+
+    t = str(tmp_path / "ranks")
+    df1 = spark.createDataFrame(
+        [(i, float(i) / 10) for i in range(40)], "id long, rank double"
+    ).repartition(4, "id")
+    s1 = write_snapshot(df1, t, key_col="id", metrics={"iters": 5})
+    df2 = spark.createDataFrame(
+        [(i, float(i) / 20) for i in range(50)], "id long, rank double"
+    ).repartition(4, "id")
+    s2 = write_snapshot(df2, t, key_col="id")
+
+    assert (s1, s2) == (1, 2) and current_snapshot_id(t) == 2
+    assert read_snapshot(spark, t).count() == 50          # current
+    assert read_snapshot(spark, t, s1).count() == 40      # time travel
+    old = {r["id"]: r["rank"] for r in read_snapshot(spark, t, s1).collect()}
+    assert old[30] == 3.0
+
+    chain = snapshot_lineage(t)
+    assert [m["snapshot_id"] for m in chain] == [2, 1]
+    assert chain[1]["metrics"] == {"iters": 5}
+    m1 = read_manifest(t, 1)
+    assert m1["row_count"] == 40 and len(m1["files"]) >= 1
+    assert all("key_min" in f for f in m1["files"])
+
+    # pruning correctness: the full key range keeps every file; a
+    # point range keeps only files whose stats range covers the point
+    # (hash partitioning doesn't guarantee disjoint ranges, so assert
+    # containment + intersection, not a strict count drop)
+    m2 = read_manifest(t, 2)
+    full = prune_files(t, 0, 10**9)
+    assert sorted(full) == sorted(f["file"] for f in m2["files"])
+    kept = prune_files(t, 0, 0)
+    assert set(kept) <= set(full)
+    for f in m2["files"]:
+        if f["file"] in kept:
+            assert f["key_min"] <= 0 <= f["key_max"] or "key_min" not in f
