@@ -47,6 +47,7 @@ from graphminer_spark.sources.extract import (  # noqa: E402
     audit_id_collisions,
     build_link_graph,
 )
+from graphminer_spark.sinks import write_snapshot  # noqa: E402
 from graphminer_spark.sources.pages import generate_pages  # noqa: E402
 
 
@@ -116,10 +117,22 @@ def main(argv: list[str] | None = None) -> int:
             edges, verts, tol=args.pr_tol, max_iter=args.pr_max_iter,
             checkpointer=ck, resume=args.resume,
         )
-        res.ranks.write.mode("overwrite").parquet(f"{args.out}/pagerank")
         metrics["pagerank_iterations"] = res.iterations
         metrics["pagerank_converged"] = res.converged
         metrics["pagerank_final_delta"] = res.deltas[-1] if res.deltas else None
+        # results land as an immutable snapshot (manifest + per-file
+        # stats + convergence metrics); re-runs append to the lineage
+        # chain instead of clobbering the previous table
+        metrics["pagerank_snapshot"] = write_snapshot(
+            res.ranks,
+            f"{args.out}/pagerank",
+            key_col="id",
+            metrics={
+                "iterations": res.iterations,
+                "converged": res.converged,
+                "final_delta": res.deltas[-1] if res.deltas else None,
+            },
+        )
     if "cc" in algos:
         ck = CheckpointManager(f"{args.out}/ckpt_cc", every=args.checkpoint_every)
         cc = connected_components(edges, verts, checkpointer=ck)

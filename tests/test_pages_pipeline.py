@@ -275,3 +275,35 @@ def test_snapshot_sink_time_travel_lineage_pruning(spark, tmp_path):
     for f in m2["files"]:
         if f["file"] in kept:
             assert f["key_min"] <= 0 <= f["key_max"] or "key_min" not in f
+
+
+def test_linkgraph_job_snapshot_results(spark, tmp_path):
+    """jobs/linkgraph_job.py end-to-end on a synthesized corpus: the
+    PageRank result table is a snapshot chain — a second run appends
+    snapshot 2 with its own convergence metrics, and time travel
+    still reads run 1's ranks."""
+    import sys
+
+    sys.modules.pop("jobs.linkgraph_job", None)
+    from jobs.linkgraph_job import main
+
+    from graphminer_spark.sinks import read_snapshot, snapshot_lineage
+
+    out = str(tmp_path / "lg")
+    argv = [
+        "--synthesize", "512", "--out", out,
+        "--algorithms", "pagerank", "--pr-max-iter", "6", "--pr-tol", "0",
+    ]
+    assert main(argv) == 0
+    assert main(argv) == 0  # second run = new snapshot, not a clobber
+
+    chain = snapshot_lineage(f"{out}/pagerank")
+    assert [m["snapshot_id"] for m in chain] == [2, 1]
+    assert chain[0]["metrics"]["iterations"] == 6
+    r1 = read_snapshot(spark, f"{out}/pagerank", 1)
+    r2 = read_snapshot(spark, f"{out}/pagerank", 2)
+    assert r1.count() == r2.count() == 512
+    # deterministic corpus + fixed iterations → identical ranks
+    a = {r["id"]: r["rank"] for r in r1.collect()}
+    b = {r["id"]: r["rank"] for r in r2.collect()}
+    assert all(abs(a[i] - b[i]) < 1e-15 for i in a)
