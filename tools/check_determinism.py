@@ -1,6 +1,7 @@
 """Parallelism-invariance check (FIXTURES.md §5 / north rule).
 
-Runs CC, LP, per-edge TC, PageRank, h-index coreness and sampled TC
+Runs CC, LP, per-edge TC, PageRank, h-index coreness, sampled TC and
+the ANF sketch curve
 at two parallelism levels in
 separate JVMs and asserts: bitwise-identical integer results (CC/LP/TC)
 and allclose(1e-6) PageRank. Prints one JSON line per level plus a
@@ -28,6 +29,7 @@ from graphminer_spark.algorithms.labelprop import label_propagation
 from graphminer_spark.algorithms.pagerank import pagerank
 from graphminer_spark.algorithms.kcore import core_numbers_hindex
 from graphminer_spark.algorithms.triangles import triangle_count_sampled
+from graphminer_spark.algorithms.anf import neighborhood_function
 
 spark = get_spark("determinism", cores=%(cores)d, shuffle_partitions=%(cores)d)
 sf = %(sf_dir)r
@@ -56,6 +58,9 @@ out["coreness"] = sorted(
 out["tc_approx"] = sorted(
     tuple(r) for r in triangle_count_sampled(edges).collect()
 )
+out["anf"] = sorted(
+    (r["h"], r["sum_pow"]) for r in neighborhood_function(sym, 3).collect()
+)
 print(json.dumps(out))
 """
 
@@ -72,7 +77,7 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     a, b = run(8, sf_dir), run(32, sf_dir)
     ok = True
-    for key in ("tc", "cc", "lp", "coreness", "tc_approx"):
+    for key in ("tc", "cc", "lp", "coreness", "tc_approx", "anf"):
         same = a[key] == b[key]
         ok &= same
         print(f"{key}: bitwise identical across local[8]/local[32]: {same}")
