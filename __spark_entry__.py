@@ -436,6 +436,15 @@ def _q_eff_diam(spark: SparkSession, sf_dir: str) -> DataFrame:
     return effective_diameter(symmetrize(edges, dedup=False), h_max=5)
 
 
+def _q_ball2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-vertex 2-ball size estimate (ANF per-vertex read-out) — a
+    # local-neighborhood-size feature column
+    from graphminer_spark.algorithms.anf import ball_sizes
+
+    edges = tpch_edges(spark, sf_dir, divisor=SPARSE_DIVISOR, scramble=True)
+    return ball_sizes(symmetrize(edges, dedup=False), h=2)
+
+
 def _q_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = tpch_edges(spark, sf_dir, divisor=SPARSE_DIVISOR)
     return bfs_distances(symmetrize(edges, dedup=False), source=BFS_SOURCE)
@@ -1178,6 +1187,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_bfs_dist": _q_bfs,
         "sgl_dumbbell": _mk_sgl_query("dumbbell"),
         "graph_eff_diam": _q_eff_diam,
+        "graph_ball2": _q_ball2,
         "graph_rev_label_index": _q_rev_label_index,
         "cc_sizes": _q_cc_sizes,
         "fsm_edge_support": _q_fsm_edges,
@@ -1246,6 +1256,16 @@ def _eff_diam_oracle() -> str:
     return (
         f"WITH {graph_ctes(divisor=SPARSE_DIVISOR, scramble=True)}, "
         f"{eff_diam_sql(5)}"
+    )
+
+
+def _ball2_oracle() -> str:
+    from graphminer_spark.algorithms.anf import ball_sizes_sql
+    from graphminer_spark.oracle_sql import graph_ctes
+
+    return (
+        f"WITH {graph_ctes(divisor=SPARSE_DIVISOR, scramble=True)}, "
+        f"{ball_sizes_sql(2)}"
     )
 
 
@@ -1518,6 +1538,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "graph_anf": _anf_oracle(),
         "graph_eff_diam": _eff_diam_oracle(),
+        "graph_ball2": _ball2_oracle(),
         "cc_components": CC_SQL,
         "cc_sizes": (
             f"WITH _cc AS ({CC_SQL}) "

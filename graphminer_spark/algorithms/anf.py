@@ -249,3 +249,67 @@ def eff_diam_sql(h_max: int = 5, alpha: float = 0.9, k: int = K_REGS) -> str:
         f"ELSE h - 1 + (t - prev) / (sum_pow - prev) END) AS eff_diam_s "
         f"FROM x"
     )
+
+
+def ball_sizes(
+    sym_edges: DataFrame, h: int = 2, k: int = K_REGS
+) -> DataFrame:
+    """Per-vertex estimated |ball(v, h)| — the local neighborhood-size
+    feature (ANF's per-vertex read-out instead of the corpus curve) →
+    ``(id, sum_pow, est_ball_s)`` where ``sum_pow`` = Σ_r 2^{R_r(v)}
+    (exact integer) and ``est_ball_s = sum_pow/(k·0.77351)`` as
+    ``%.4f``.  Same superstep dataflow as
+    :func:`neighborhood_function`; the output is the h-th state."""
+    edges = sym_edges.select("src", "dst").repartition("src").persist()
+    edges.count()
+    verts = edges.select(F.col("src").alias("id")).distinct()
+    state = verts.select(
+        "id", *[_fm_mask(F.col("id"), r).alias(f"m{r}") for r in range(k)]
+    )
+    for _ in range(h):
+        nbr = (
+            state.join(edges, state["id"] == edges["src"])
+            .groupBy(F.col("dst").alias("id"))
+            .agg(*[F.bit_or(f"m{r}").alias(f"n{r}") for r in range(k)])
+        )
+        state = (
+            state.join(nbr, "id", "left")
+            .select(
+                "id",
+                *[
+                    F.coalesce(F.col(f"n{r}"), F.lit(0))
+                    .bitwiseOR(F.col(f"m{r}"))
+                    .alias(f"m{r}")
+                    for r in range(k)
+                ],
+            )
+            .localCheckpoint(eager=True)
+        )
+    sum_pow = sum(
+        (_low_zero(F.col(f"m{r}")) for r in range(k)), F.lit(0)
+    ).cast("long")
+    out = state.select(
+        "id",
+        sum_pow.alias("sum_pow"),
+        F.format_string("%.4f", sum_pow / F.lit(k * _PHI)).alias(
+            "est_ball_s"
+        ),
+    ).localCheckpoint(eager=True)
+    edges.unpersist()
+    return out
+
+
+def ball_sizes_sql(h: int = 2, k: int = K_REGS) -> str:
+    """DuckDB replay of :func:`ball_sizes` (fragment; ``sym`` in
+    scope) — reuses the :func:`anf_sql` superstep CTEs and reads the
+    h-th state per vertex."""
+    base = anf_sql(h, k)
+    ctes = base[: base.index(" SELECT 1 AS h,")]
+    lowz = " + ".join(
+        f"((-m{r} - 1) & (-(-m{r} - 1)))" for r in range(k)
+    )
+    return (
+        f"{ctes} SELECT id, ({lowz})::BIGINT AS sum_pow, "
+        f"printf('%.4f', ({lowz}) / {k * _PHI}) AS est_ball_s "
+        f"FROM anf{h}"
+    )
