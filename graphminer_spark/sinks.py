@@ -86,6 +86,15 @@ def write_snapshot(
     cur = current_snapshot_id(table_dir)
     snap_id = (cur or 0) + 1
     data_dir = _data_dir(table_dir, snap_id)
+    # a crashed previous attempt leaves data files with no manifest and
+    # no pointer swap — uncommitted by definition, safe to reclaim
+    # (single-writer semantics); never touches committed snapshots
+    if os.path.isdir(data_dir) and not os.path.exists(
+        os.path.join(_manifest_dir(table_dir), f"{snap_id:06d}.json")
+    ):
+        import shutil
+
+        shutil.rmtree(data_dir)
     df.write.mode("error").parquet(data_dir)
     manifest = {
         "snapshot_id": snap_id,

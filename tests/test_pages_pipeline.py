@@ -307,3 +307,22 @@ def test_linkgraph_job_snapshot_results(spark, tmp_path):
     a = {r["id"]: r["rank"] for r in r1.collect()}
     b = {r["id"]: r["rank"] for r in r2.collect()}
     assert all(abs(a[i] - b[i]) < 1e-15 for i in a)
+
+
+def test_snapshot_sink_recovers_from_crashed_write(spark, tmp_path):
+    """A data directory left by a crashed (uncommitted) write must be
+    reclaimed by the next write, not brick the table."""
+    import os
+
+    from graphminer_spark.sinks import read_snapshot, write_snapshot
+
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame([(1, 2.0)], "id long, rank double")
+    write_snapshot(df, t, key_col="id")
+    # simulate a crash: snapshot-2 data written, manifest + pointer not
+    crash_dir = os.path.join(t, "data", "snap-000002")
+    df.write.parquet(crash_dir)
+    df2 = spark.createDataFrame([(9, 1.0), (8, 0.5)], "id long, rank double")
+    s2 = write_snapshot(df2, t, key_col="id")
+    assert s2 == 2
+    assert read_snapshot(spark, t).count() == 2
