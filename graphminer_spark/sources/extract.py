@@ -150,9 +150,12 @@ def host_pagerank(
     from graphminer_spark.algorithms.pagerank import pagerank_weighted
 
     hosts, hedges = build_host_graph(pages)
-    # host table is dimension-sized — cut its lineage once so the
-    # superstep loop and the final name-join both reuse one pass
+    # both tables are dimension-sized — cut lineage once so the
+    # Arrow extraction pass runs exactly once (pagerank_weighted
+    # derives w_out AND its persisted edge table from hedges, which
+    # would otherwise re-run extract_pages per derivation)
     hosts = hosts.localCheckpoint(eager=True)
+    hedges = hedges.localCheckpoint(eager=True)
     verts = hosts.select(F.xxhash64("host").alias("id"))
     wedges = hedges.select(
         F.xxhash64("src_host").alias("src"),
