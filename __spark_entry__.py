@@ -700,6 +700,22 @@ def _q_gopher_rep(spark, sf_dir):
     return gopher_repetition(_docs(spark, sf_dir))
 
 
+def _q_quality_mixture(spark, sf_dir):
+    # DoReMi/CCNet-style quality-bucketed mixture: trigram-coverage
+    # score -> ntile quartiles -> per-tier deterministic reservoir
+    from graphminer_spark.textops.lm_score import (
+        lm_coverage_score,
+        train_trigram_model,
+    )
+    from graphminer_spark.textops.sampling import quality_mixture
+
+    docs = _docs(spark, sf_dir)
+    cov = lm_coverage_score(docs, train_trigram_model(docs, top_k=64))
+    return quality_mixture(
+        docs, cov.select("doc_id", F.col("cov_bp").alias("score"))
+    )
+
+
 def _q_url_normalize(spark, sf_dir):
     # RFC 3986 canonicalization over messy synthetic URLs (case, :443,
     # ./ and ../ segments, fragment) built from doc_id; the oracle
@@ -1204,6 +1220,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bip_degrees": _q_bip_degrees,
         "docs_minhash_sigs": _q_minhash,
         "docs_token_count": _q_token_count,
+        "docs_quality_mixture": _q_quality_mixture,
         "docs_lsh_neardup": _q_lsh_neardup,
         "docs_simhash": _q_simhash,
         "docs_simhash_neardup": _q_simhash_neardup,
@@ -1651,6 +1668,45 @@ def oracle_sql() -> dict[str, str]:
         "docs_gopher_rep": GOPHER_REP_SQL,
         "docs_contamination": contamination_sql(4, 50),
         "docs_pii_scrub": _pii_oracle(),
+        "docs_quality_mixture": """
+WITH g AS MATERIALIZED (
+  SELECT doc_id, substring(text, i.g::INT, 3) AS gram
+  FROM documents,
+  LATERAL (SELECT unnest(range(1, greatest(length(text) - 1, 1))) AS g) i
+  WHERE length(text) >= 3
+),
+m AS MATERIALIZED (
+  SELECT gram FROM (
+    SELECT gram, row_number() OVER (ORDER BY count(*) DESC, gram) AS rank
+    FROM g GROUP BY gram) WHERE rank <= 64
+),
+s AS (
+  SELECT d.doc_id, count(g.gram) AS n_grams,
+         coalesce(sum(CASE WHEN m.gram IS NOT NULL THEN 1 ELSE 0 END), 0) AS n_hits
+  FROM documents d LEFT JOIN g ON g.doc_id = d.doc_id
+  LEFT JOIN m ON m.gram = g.gram GROUP BY d.doc_id
+),
+sc AS (
+  SELECT doc_id,
+         (CASE WHEN n_grams = 0 THEN 0
+               ELSE (10000 * n_hits) // n_grams END)::BIGINT AS score
+  FROM s
+),
+b AS (
+  SELECT doc_id, score, ntile(4) OVER (ORDER BY score, doc_id) AS bucket
+  FROM sc
+),
+r AS (
+  SELECT doc_id, bucket, score,
+         row_number() OVER (
+           PARTITION BY bucket
+           ORDER BY ('0x' || substr(md5(doc_id::VARCHAR || ':psr'), 1, 8))::BIGINT,
+             doc_id) AS sample_rank
+  FROM b
+)
+SELECT doc_id, bucket, score, sample_rank::INT AS sample_rank
+FROM r WHERE sample_rank <= 25
+""".strip(),
         "ev_props_json": """
 SELECT event_type, COUNT(*)::BIGINT AS n_events,
        SUM(json_extract(props, '$.k')::BIGINT)::BIGINT AS sum_k,

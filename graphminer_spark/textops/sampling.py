@@ -79,3 +79,33 @@ def per_stratum_sample(
         docs.withColumn("sample_rank", F.row_number().over(w))
         .filter(F.col("sample_rank") <= n)
     )
+
+
+def quality_mixture(
+    docs: DataFrame,
+    scores: DataFrame,
+    n_buckets: int = 4,
+    n_per_bucket: int = 25,
+) -> DataFrame:
+    """Quality-bucketed training mixture (the DoReMi/CCNet "head /
+    middle / tail" recipe): rank every document by a quality score,
+    cut the corpus into ``n_buckets`` equal-size tiers, and draw a
+    fixed-size deterministic sample from each tier →
+    ``(doc_id, bucket, score, sample_rank)``.
+
+    ``scores`` is any per-doc table ``(doc_id, score)`` — e.g.
+    ``lm_coverage_score(...)`` coverage basis points. Bucketing uses
+    ``ntile`` over (score, doc_id) for an exact cross-engine oracle;
+    at 10^12 docs the same tiers come from ``approxQuantile``
+    thresholds + a map-side filter instead of a global window — the
+    per-tier reservoir (:func:`per_stratum_sample` shape,
+    ``WindowGroupLimit`` partial top-n) is unchanged.
+    """
+    w = Window.orderBy(F.col("score"), F.col("doc_id"))
+    bucketed = scores.select(
+        "doc_id", "score", F.ntile(n_buckets).over(w).alias("bucket")
+    )
+    sampled = per_stratum_sample(
+        bucketed, n=n_per_bucket, strata_col="bucket", key_col="doc_id"
+    )
+    return sampled.select("doc_id", "bucket", "score", "sample_rank")
