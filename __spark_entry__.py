@@ -633,6 +633,12 @@ def _q_rollup(spark, sf_dir):
     return revenue_rollup(spark.read.parquet(f"{sf_dir}/lineitem.parquet"))
 
 
+def _q_cube(spark, sf_dir):
+    from graphminer_spark.olap import revenue_cube
+
+    return revenue_cube(spark.read.parquet(f"{sf_dir}/lineitem.parquet"))
+
+
 def _q_top_parts(spark, sf_dir):
     return top_parts_per_supplier(spark.read.parquet(f"{sf_dir}/lineitem.parquet"))
 
@@ -1241,6 +1247,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_top_users": _q_ev_top_users,
         "ev_funnel": _q_ev_funnel,
         "olap_revenue_rollup": _q_rollup,
+        "olap_revenue_cube": _q_cube,
         "olap_status_pivot": _q_pivot,
     }
 
@@ -1737,6 +1744,12 @@ FROM events GROUP BY event_type
                    sum(l_quantity)::BIGINT AS sum_qty,
                    printf('%.2f', sum(l_extendedprice * (1 - l_discount))) AS revenue_s
             FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        """,
+        "olap_revenue_cube": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(l_quantity)::BIGINT AS sum_qty,
+                   printf('%.2f', sum(l_extendedprice * (1 - l_discount))) AS revenue_s
+            FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
         """,
         "olap_top_parts": """
             WITH agg AS (

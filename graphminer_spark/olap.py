@@ -59,3 +59,19 @@ def order_status_pivot(orders: DataFrame) -> DataFrame:
             F.coalesce("P", F.lit(0)).alias("n_P"),
         )
     )
+
+
+def revenue_cube(lineitem: DataFrame) -> DataFrame:
+    """CUBE(returnflag, linestatus): the full grouping-set lattice
+    (both one-dimension margins, unlike ROLLUP's prefix chain) →
+    same output shape as :func:`revenue_rollup`."""
+    return (
+        lineitem.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").cast("long").alias("sum_qty"),
+            F.format_string(
+                "%.2f",
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+            ).alias("revenue_s"),
+        )
+    )
