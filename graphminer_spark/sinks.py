@@ -12,11 +12,14 @@ load-bearing core with zero non-baked dependencies:
 * time travel = read any older snapshot id; lineage = walk the
   parent chain.
 
-On a real cluster the same layout lands on object storage unchanged —
-manifests are tiny driver-side JSON, data files are whatever the
-executors wrote, and commit is a single atomic pointer swap (rename),
-exactly the Iceberg commit model.  ``CheckpointManager`` covers the
-*iteration state* side; this module covers the *results table* side.
+The LAYOUT ports to object storage unchanged (manifests are tiny
+driver-side JSON, data files are whatever the executors wrote, commit
+is one atomic pointer swap — the Iceberg commit model); the driver-side
+file I/O here (``os`` + local pyarrow footers) is the local-FS
+implementation and would swap to the Hadoop FileSystem API on s3/gs,
+where the "atomic rename" becomes a conditional put.
+``CheckpointManager`` covers the *iteration state* side; this module
+covers the *results table* side.
 
 Reference: results/metrics sinks in the runner scripts
 (``/root/reference/scripts/run_*.py`` write flat result files); the
