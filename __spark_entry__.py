@@ -414,6 +414,35 @@ def _q_coreness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return core_numbers_hindex(symmetrize(edges, dedup=False))
 
 
+# k-truss on the divisor-20 graph: the only substrate probed whose
+# 4-truss peels over a real cascade (sf0.01: 59,554 → 8,278 → 978 →
+# 169 → 138 edges, stable round 5) AND leaves a non-empty truss — the
+# sparse graph's 4-truss is empty, the dense one barely peels.
+KTRUSS_K, KTRUSS_DIVISOR = 4, 20
+KTRUSS_ROUNDS = 12  # oracle unroll; Spark rounds asserted < this in pytest
+
+
+def _q_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphminer_spark.algorithms.ktruss import ktruss
+
+    edges = tpch_edges(spark, sf_dir, divisor=KTRUSS_DIVISOR)
+    return ktruss(symmetrize(edges, dedup=False), k=KTRUSS_K)
+
+
+HARMONIC_HMAX = 4  # lcm(1..4)=12 scales the integer accumulator
+
+
+def _q_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # HyperBall harmonic centrality — per-vertex Σ Δball(h)/h read off
+    # the ANF sketch supersteps (same substrate as graph_anf)
+    from graphminer_spark.algorithms.anf import harmonic_centrality
+
+    edges = tpch_edges(spark, sf_dir, divisor=SPARSE_DIVISOR, scramble=True)
+    return harmonic_centrality(
+        symmetrize(edges, dedup=False), h_max=HARMONIC_HMAX
+    )
+
+
 BFS_SOURCE, BFS_ROUNDS = 0, 15
 
 
@@ -1134,8 +1163,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lp_labels_2iter": _q_lp2,
         "graph_kcore": _q_kcore,
         "graph_coreness": _q_coreness,
-        # --- ANF sketch supersteps (new component) ---
+        # --- k-truss peeling (new component) ---
+        "graph_ktruss": _q_ktruss,
+        # --- ANF sketch supersteps (new component) + HyperBall
+        # harmonic centrality (new component) ---
         "graph_anf": _q_anf,
+        "graph_harmonic": _q_harmonic,
         "hits_5iter": _q_hits5,
         "graph_clustering": _q_clustering,
         "temporal_tri_count": _q_temporal_tri,
@@ -1154,10 +1187,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_nlf": _q_nlf,
         "graph_feat_agg": _q_feat_agg,
         "labeled_tri_count": _q_labeled_tri,
-        "fsm_2edge_support": _q_fsm_2edge,
+        # fsm_2edge / fsm_elabel_2edge rotated past the cap (driver-
+        # green r04); 3-edge + general-k 4-edge keep the family's slots
         "fsm_3edge_support": _q_fsm_3edge,
         "fsm_4edge_support": _q_fsm_4edge,
-        "fsm_elabel_2edge_support": _q_fsm_elabel_2edge,
         "query_labeled_diamond": _q_labeled_diamond,
         "gks_3keywords": _q_gks,
         "bip_butterflies": _q_butterflies,
@@ -1214,6 +1247,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_sizes": _q_cc_sizes,
         "fsm_edge_support": _q_fsm_edges,
         "fsm_elabel_support": _q_fsm_elabel,
+        "fsm_2edge_support": _q_fsm_2edge,
+        "fsm_elabel_2edge_support": _q_fsm_elabel_2edge,
         **{
             f"sgl_{n}": _mk_sgl_query(n)
             for n in sorted(SGL_GRAPH)
@@ -1261,6 +1296,26 @@ def _pii_oracle() -> str:
         "(doc_id % 256)::VARCHAR || '.1 ' || text"
     )
     return pii_scrub_sql(messy)
+
+
+def _ktruss_oracle() -> str:
+    from graphminer_spark.algorithms.ktruss import ktruss_sql
+    from graphminer_spark.oracle_sql import graph_ctes
+
+    return (
+        f"WITH {graph_ctes(divisor=KTRUSS_DIVISOR)}, "
+        f"{ktruss_sql(KTRUSS_K, KTRUSS_ROUNDS)}"
+    )
+
+
+def _harmonic_oracle() -> str:
+    from graphminer_spark.algorithms.anf import harmonic_sql
+    from graphminer_spark.oracle_sql import graph_ctes
+
+    return (
+        f"WITH {graph_ctes(divisor=SPARSE_DIVISOR, scramble=True)}, "
+        f"{harmonic_sql(HARMONIC_HMAX)}"
+    )
 
 
 def _anf_oracle() -> str:
@@ -1560,7 +1615,9 @@ def oracle_sql() -> dict[str, str]:
         "graph_bfs_dist": bfs_sql(
             BFS_SOURCE, BFS_ROUNDS, divisor=SPARSE_DIVISOR
         ),
+        "graph_ktruss": _ktruss_oracle(),
         "graph_anf": _anf_oracle(),
+        "graph_harmonic": _harmonic_oracle(),
         "graph_eff_diam": _eff_diam_oracle(),
         "graph_ball2": _ball2_oracle(),
         "cc_components": CC_SQL,

@@ -299,6 +299,106 @@ def ball_sizes(
     return out
 
 
+def harmonic_centrality(
+    sym_edges: DataFrame, h_max: int = 4, k: int = K_REGS
+) -> DataFrame:
+    """HyperBall harmonic centrality (Boldi–Vigna, "In-core
+    computation of geometric centralities with HyperBall", ICDM'13
+    workshops) → ``(id, harm_num, harmonic_s)``.
+
+    harmonic(v) = Σ_{u≠v} 1/d(v,u) ≈ Σ_{h=1..H} Δball(v,h)/h where
+    Δball(v,h) = |ball(v,h)| − |ball(v,h−1)| is read off the same FM
+    bit-sketch supersteps as :func:`neighborhood_function`. To keep
+    the oracle exact, the per-h read-outs are combined as ONE integer:
+
+        harm_num(v) = Σ_h (L/h) · (pow_h(v) − pow_{h−1}(v)),
+
+    L = lcm(1..H), pow_h(v) = Σ_r 2^{R_r} of the h-th mask — every
+    term is integer arithmetic on deterministic md5 sketches, so Spark
+    and DuckDB agree bit-for-bit; the single final division
+    ``harm_num / (L·k·0.77351)`` (rendered ``%.4f``) is the only
+    float op and is the identical IEEE expression in both engines.
+
+    Scale: identical superstep to ANF (one join + bit-OR groupBy per
+    radius, partial-combinable); the accumulator rides as two extra
+    integer columns on the state — no additional shuffle.
+    """
+    import math
+
+    L = math.lcm(*range(1, h_max + 1))
+    edges = sym_edges.select("src", "dst").repartition("src").persist()
+    edges.count()
+    verts = edges.select(F.col("src").alias("id")).distinct()
+    state = verts.select(
+        "id",
+        *[_fm_mask(F.col("id"), r).alias(f"m{r}") for r in range(k)],
+        F.lit(0).cast("long").alias("num"),
+    )
+    for h in range(1, h_max + 1):
+        nbr = (
+            state.join(edges, state["id"] == edges["src"])
+            .groupBy(F.col("dst").alias("id"))
+            .agg(*[F.bit_or(f"m{r}").alias(f"n{r}") for r in range(k)])
+        )
+        merged = [
+            F.coalesce(F.col(f"n{r}"), F.lit(0)).bitwiseOR(F.col(f"m{r}"))
+            for r in range(k)
+        ]
+        cur_pow = sum((_low_zero(m) for m in merged), F.lit(0))
+        old_pow = sum((_low_zero(F.col(f"m{r}")) for r in range(k)), F.lit(0))
+        state = (
+            state.join(nbr, "id", "left")
+            .select(
+                "id",
+                *[m.alias(f"m{r}") for r, m in enumerate(merged)],
+                (
+                    F.col("num")
+                    + F.lit(L // h) * (cur_pow - old_pow)
+                ).alias("num"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    out = state.select(
+        "id",
+        F.col("num").cast("long").alias("harm_num"),
+        F.format_string(
+            "%.4f", F.col("num") / F.lit(L * k * _PHI)
+        ).alias("harmonic_s"),
+    ).localCheckpoint(eager=True)
+    edges.unpersist()
+    return out
+
+
+def harmonic_sql(h_max: int = 4, k: int = K_REGS) -> str:
+    """DuckDB replay of :func:`harmonic_centrality` (fragment; ``sym``
+    in scope) — reuses the :func:`anf_sql` superstep CTEs and combines
+    the per-h read-outs with the same LCM-scaled integer sum."""
+    import math
+
+    L = math.lcm(*range(1, h_max + 1))
+    base = anf_sql(h_max, k)
+    ctes = base[: base.index(" SELECT 1 AS h,")]
+
+    def lowz(alias: str) -> str:
+        return " + ".join(
+            f"((-{alias}.m{r} - 1) & (-(-{alias}.m{r} - 1)))"
+            for r in range(k)
+        )
+
+    num = " + ".join(
+        f"({L // h}) * (({lowz(f'a{h}')}) - ({lowz(f'a{h - 1}')}))"
+        for h in range(1, h_max + 1)
+    )
+    joins = " ".join(
+        f"JOIN anf{h} a{h} ON a{h}.id = a0.id" for h in range(1, h_max + 1)
+    )
+    return (
+        f"{ctes} SELECT a0.id, ({num})::BIGINT AS harm_num, "
+        f"printf('%.4f', ({num}) / {L * k * _PHI}) AS harmonic_s "
+        f"FROM anf0 a0 {joins}"
+    )
+
+
 def ball_sizes_sql(h: int = 2, k: int = K_REGS) -> str:
     """DuckDB replay of :func:`ball_sizes` (fragment; ``sym`` in
     scope) — reuses the :func:`anf_sql` superstep CTEs and reads the
