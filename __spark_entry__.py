@@ -78,6 +78,7 @@ from graphminer_spark.oracle_sql import (
     ppr_sql,
     wpr_sql,
     hits_sql,
+    salsa_sql,
     CLUSTERING_SQL,
     quality_sql,
     simhash_neardup_sql,
@@ -445,6 +446,27 @@ def _q_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 BFS_SOURCE, BFS_ROUNDS = 0, 15
 
+# weighted SSSP: DuckDB probe converges by round 10 at sf0.01 on the
+# sparse graph ((n, Σdist) stable); unroll 20 is the generous bound
+SSSP_SOURCE, SSSP_ROUNDS = 0, 20
+
+
+def _q_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphminer_spark.algorithms.sssp import sssp
+
+    edges = tpch_edges(spark, sf_dir, divisor=SPARSE_DIVISOR)
+    return sssp(symmetrize(edges, dedup=False), source=SSSP_SOURCE)
+
+
+def _sssp_oracle() -> str:
+    from graphminer_spark.algorithms.sssp import sssp_sql
+    from graphminer_spark.oracle_sql import graph_ctes
+
+    return (
+        f"WITH {graph_ctes(divisor=SPARSE_DIVISOR)}, "
+        f"{sssp_sql(SSSP_SOURCE, SSSP_ROUNDS)}"
+    )
+
 
 def _q_anf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ANF / neighborhood-function curve (FM-sketch bit-OR supersteps)
@@ -508,12 +530,24 @@ def _q_pagerank5(spark: SparkSession, sf_dir: str) -> DataFrame:
 from graphminer_spark.algorithms.hits import (
     clustering_coefficient,
     hits,
+    salsa,
 )
 
 
 def _q_hits5(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges, _, verts = _graph_vertices(spark, sf_dir)
     out = hits(edges, verts, n_iter=5)
+    return out.select(
+        "id",
+        F.format_string("%.6f", F.col("hub")).alias("hub_s"),
+        F.format_string("%.6f", F.col("auth")).alias("auth_s"),
+    )
+
+
+def _q_salsa5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SALSA — the degree-normalized (random-walk) HITS variant
+    edges, _, verts = _graph_vertices(spark, sf_dir)
+    out = salsa(edges, verts, n_iter=5)
     return out.select(
         "id",
         F.format_string("%.6f", F.col("hub")).alias("hub_s"),
@@ -1169,9 +1203,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # harmonic centrality (new component) ---
         "graph_anf": _q_anf,
         "graph_harmonic": _q_harmonic,
-        "hits_5iter": _q_hits5,
+        # --- SALSA (new component); hits_5iter (driver-green r04)
+        # rotated past the cap — link-analysis keeps this slot ---
+        "salsa_5iter": _q_salsa5,
         "graph_clustering": _q_clustering,
-        "temporal_tri_count": _q_temporal_tri,
+        # --- weighted SSSP (new component); temporal_tri_count
+        # (driver-green r04) rotated past the cap, dyn_tri_delta keeps
+        # the temporal family's slot ---
+        "graph_sssp": _q_sssp,
         "dyn_tri_delta": _q_dyn_tri,
         # --- patterns / motifs / cliques (rotated: 5 ← 4) ---
         "clique5_total": _q_clique5,
@@ -1240,6 +1279,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wpr_5iter": _q_wpr5,
         "ev_sessions": _q_ev_sessions,
         "graph_bfs_dist": _q_bfs,
+        "hits_5iter": _q_hits5,
+        "temporal_tri_count": _q_temporal_tri,
         "sgl_dumbbell": _mk_sgl_query("dumbbell"),
         "graph_eff_diam": _q_eff_diam,
         "graph_ball2": _q_ball2,
@@ -1616,6 +1657,7 @@ def oracle_sql() -> dict[str, str]:
             BFS_SOURCE, BFS_ROUNDS, divisor=SPARSE_DIVISOR
         ),
         "graph_ktruss": _ktruss_oracle(),
+        "graph_sssp": _sssp_oracle(),
         "graph_anf": _anf_oracle(),
         "graph_harmonic": _harmonic_oracle(),
         "graph_eff_diam": _eff_diam_oracle(),
@@ -1630,6 +1672,7 @@ def oracle_sql() -> dict[str, str]:
         "ppr_5iter": ppr_sql(5, mod=PPR_SOURCE_MOD),
         "wpr_5iter": wpr_sql(5),
         "hits_5iter": hits_sql(5),
+        "salsa_5iter": salsa_sql(5),
         "graph_clustering": CLUSTERING_SQL,
         "graph_assortativity": graph_query(
             """

@@ -101,6 +101,92 @@ def hits(
     return state
 
 
+def salsa(
+    edges: DataFrame,
+    vertices: DataFrame,
+    n_iter: int = 5,
+    checkpointer: CheckpointManager | None = None,
+) -> DataFrame:
+    """SALSA (Lempel–Moran, "The stochastic approach for link-structure
+    analysis", WWW'00) → ``(id, hub, auth)`` after ``n_iter``
+    iterations: HITS with degree-normalized contributions, i.e. the
+    power iteration of the bipartite random walk
+
+        auth(v) = Σ_{u→v} hub(u)  / outdeg(u)
+        hub(u)  = Σ_{u→v} auth(v) / indeg(v)
+
+    L1-normalized every half-step (exact SALSA preserves the L1 mass,
+    but dangling hubs/authorities leak it; explicit normalization is
+    the convergent formulation, as in :func:`hits`).
+
+    Plan: the degree-annotated edge table ``(src, dst, od, idg)`` is
+    built ONCE and persisted; each half-step is then one equi-join +
+    one partial-combinable aggregate — identical shuffle shape and
+    superstep fusion (ONE driver action per half-step) as
+    :func:`hits`/PageRank, so it scales the same way.
+    """
+    from graphminer_spark.checkpoint import materialize_with_agg
+
+    ckpt = checkpointer or CheckpointManager(None)
+    verts = vertices.select("id").repartition("id").persist()
+    n = verts.count()
+    od = edges.groupBy("src").agg(F.count("*").alias("od"))
+    idg = edges.groupBy("dst").agg(F.count("*").alias("idg"))
+    e = (
+        edges.select("src", "dst")
+        .join(od, "src")
+        .join(idg, "dst")
+        .persist()
+    )
+    m = e.count()
+    state = ckpt.save(
+        verts.select(
+            "id", F.lit(1.0 / n).alias("hub"), F.lit(1.0 / n).alias("auth")
+        ),
+        0,
+        {"algo": "salsa"},
+    )
+    with superstep_planning(edges.sparkSession, m):
+        for it in range(1, n_iter + 1):
+            a_raw = (
+                e.join(state.select(F.col("id").alias("src"), "hub"), "src")
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.sum(F.col("hub") / F.col("od")).alias("a_raw"))
+            )
+            half, row = materialize_with_agg(
+                state.select("id", "hub").join(a_raw, "id", "left"),
+                F.sum("a_raw").alias("s"),
+            )
+            a_sum = row["s"] or 1.0
+            with_auth = half.select(
+                "id",
+                "hub",
+                (F.coalesce("a_raw", F.lit(0.0)) / a_sum).alias("auth"),
+            )
+            h_raw = (
+                e.join(
+                    with_auth.select(F.col("id").alias("dst"), "auth"), "dst"
+                )
+                .groupBy(F.col("src").alias("id"))
+                .agg(F.sum(F.col("auth") / F.col("idg")).alias("h_raw"))
+            )
+            full, row = ckpt.save_and_agg(
+                with_auth.select("id", "auth")
+                .join(h_raw, "id", "left")
+                .withColumn("h_raw", F.coalesce("h_raw", F.lit(0.0))),
+                it,
+                {"algo": "salsa"},
+                [F.sum("h_raw").alias("s")],
+            )
+            h_sum = row["s"] or 1.0
+            state = full.select(
+                "id", (F.col("h_raw") / h_sum).alias("hub"), "auth"
+            )
+    verts.unpersist()
+    e.unpersist()
+    return state
+
+
 def clustering_coefficient(
     canonical_edges: DataFrame, dag: DataFrame
 ) -> DataFrame:

@@ -365,6 +365,54 @@ hsum_{step} AS (SELECT coalesce(sum(h_raw), 1.0) AS s FROM hraw_{step}),
     )
 
 
+def salsa_sql(n_iter: int, decimals: int = 6) -> str:
+    """Unrolled SALSA with per-half-step L1 normalization (oracle for
+    ``algorithms.hits.salsa``) — HITS with contributions divided by
+    the contributing vertex's out/in degree."""
+    parts = [
+        GRAPH_CTES,
+        "verts AS (SELECT id FROM deg)",
+        "nv AS (SELECT cast(count(*) AS double) AS n FROM verts)",
+        "od AS (SELECT src, count(*) AS od FROM edges GROUP BY src)",
+        "idg AS (SELECT dst, count(*) AS idg FROM edges GROUP BY dst)",
+        "ew AS MATERIALIZED (SELECT e.src, e.dst, o.od, i.idg FROM edges e "
+        "JOIN od o ON o.src = e.src JOIN idg i ON i.dst = e.dst)",
+        "s0 AS (SELECT id, 1.0 / nv.n AS hub, 1.0 / nv.n AS auth "
+        "FROM verts CROSS JOIN nv)",
+    ]
+    for k in range(1, n_iter + 1):
+        prev, step = f"s{k - 1}", f"s{k}"
+        parts.append(
+            f"""
+araw_{step} AS MATERIALIZED (
+  SELECT e.dst AS id, sum(p.hub / e.od) AS a_raw
+  FROM ew e JOIN {prev} p ON p.id = e.src GROUP BY e.dst
+),
+asum_{step} AS (SELECT coalesce(sum(a_raw), 1.0) AS s FROM araw_{step}),
+wa_{step} AS MATERIALIZED (
+  SELECT v.id, v.hub, coalesce(a.a_raw, 0.0) / n.s AS auth
+  FROM {prev} v CROSS JOIN asum_{step} n
+  LEFT JOIN araw_{step} a ON a.id = v.id
+),
+hraw_{step} AS MATERIALIZED (
+  SELECT e.src AS id, sum(w.auth / e.idg) AS h_raw
+  FROM ew e JOIN wa_{step} w ON w.id = e.dst GROUP BY e.src
+),
+hsum_{step} AS (SELECT coalesce(sum(h_raw), 1.0) AS s FROM hraw_{step}),
+{step} AS MATERIALIZED (
+  SELECT v.id, coalesce(h.h_raw, 0.0) / n.s AS hub, v.auth
+  FROM wa_{step} v CROSS JOIN hsum_{step} n
+  LEFT JOIN hraw_{step} h ON h.id = v.id
+)
+""".strip()
+        )
+    return (
+        f"WITH {', '.join(parts)} "
+        f"SELECT id, printf('%.{decimals}f', hub) AS hub_s, "
+        f"printf('%.{decimals}f', auth) AS auth_s FROM s{n_iter}"
+    )
+
+
 CLUSTERING_SQL = f"""
 WITH {GRAPH_CTES}, {TRI_SQL},
 per_v AS (
