@@ -450,6 +450,35 @@ BFS_SOURCE, BFS_ROUNDS = 0, 15
 # sparse graph ((n, Σdist) stable); unroll 20 is the generous bound
 SSSP_SOURCE, SSSP_ROUNDS = 0, 20
 
+# SCC substrate: md5-parity orientation of the sparse half-sampled
+# graph — the probe shows a web-like bow-tie (sf0.01: giant SCC of
+# 1227 over 1241 vertices + singleton tendrils); the denser variants
+# collapse to one all-vertex SCC
+SCC_SAMPLE_MOD = 8
+
+
+def _q_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphminer_spark.algorithms.scc import (
+        hash_orient,
+        strongly_connected_components,
+    )
+
+    edges = tpch_edges(
+        spark, sf_dir, divisor=SPARSE_DIVISOR, sample_mod=SCC_SAMPLE_MOD
+    )
+    return strongly_connected_components(hash_orient(edges))
+
+
+def _scc_oracle() -> str:
+    from graphminer_spark.algorithms.scc import HASH_ORIENT_SQL, SCC_BODY_SQL
+    from graphminer_spark.oracle_sql import graph_ctes
+
+    return (
+        f"WITH RECURSIVE "
+        f"{graph_ctes(divisor=SPARSE_DIVISOR, sample_mod=SCC_SAMPLE_MOD)}, "
+        f"{HASH_ORIENT_SQL}, {SCC_BODY_SQL}"
+    )
+
 
 def _q_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graphminer_spark.algorithms.sssp import sssp
@@ -1194,6 +1223,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- PII redaction (new component) ---
         "docs_pii_scrub": _q_pii_scrub,
         "cc_components": _q_cc,
+        # --- directed SCC / bow-tie (new component);
+        # docs_stratified_sample rotated past the cap (sampling family
+        # keeps graph_rw_sample + docs_per_lang_sample) ---
+        "graph_scc": _q_scc,
         "lp_labels_2iter": _q_lp2,
         "graph_kcore": _q_kcore,
         "graph_coreness": _q_coreness,
@@ -1240,7 +1273,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_url_normalize": _q_url_normalize,
         # --- one row per LLM-pipeline family (rotated variants) ---
         # --- deterministic training-mixture samplers (new) ---
-        "docs_stratified_sample": _q_stratified_sample,
         # --- corpus-trained trigram coverage scoring (new) ---
         "docs_lm_coverage": _q_lm_coverage,
         # --- benchmark decontamination (new component) ---
@@ -1317,6 +1349,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_neardup": _q_emb_neardup,
         "docs_exact_dedup": _q_exact_dedup,
         "docs_per_lang_sample": _q_per_lang_sample,
+        "docs_stratified_sample": _q_stratified_sample,
         "mm_frame_sample": _q_mm_frames,
         "mm_asset_dedup": _q_mm_dedup,
         "ev_windowed_counts": _q_ev_windows,
@@ -1658,6 +1691,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "graph_ktruss": _ktruss_oracle(),
         "graph_sssp": _sssp_oracle(),
+        "graph_scc": _scc_oracle(),
         "graph_anf": _anf_oracle(),
         "graph_harmonic": _harmonic_oracle(),
         "graph_eff_diam": _eff_diam_oracle(),
