@@ -139,6 +139,39 @@ def main() -> None:
     timed("cc", lambda: connected_components(edges, verts).count(), rep=True)
     timed("lp_4iter", lambda: label_propagation(sym, verts, n_iter=4).labels.count(), rep=True)
 
+    # ---- round-5 graph additions (extras; sf0.1 probe: 11-15 s each)
+    from graphminer_spark.algorithms.hits import salsa  # noqa: E402
+    from graphminer_spark.algorithms.ktruss import ktruss  # noqa: E402
+    from graphminer_spark.algorithms.scc import (  # noqa: E402
+        hash_orient,
+        strongly_connected_components,
+    )
+    from graphminer_spark.algorithms.sssp import sssp  # noqa: E402
+
+    timed(
+        "salsa_5iter",
+        lambda: salsa(edges, verts, n_iter=5).count(),
+        extra=True,
+    )
+    e20 = tpch_edges(spark, sf_dir, divisor=20)
+    timed(
+        "ktruss_k4",
+        lambda: ktruss(symmetrize(e20, dedup=False), k=4).count(),
+        extra=True,
+    )
+    e_scc = tpch_edges(spark, sf_dir, divisor=6, sample_mod=8)
+    timed(
+        "scc_bowtie",
+        lambda: strongly_connected_components(hash_orient(e_scc)).count(),
+        extra=True,
+    )
+    e_sp = tpch_edges(spark, sf_dir, divisor=6)
+    timed(
+        "sssp_weighted",
+        lambda: sssp(symmetrize(e_sp, dedup=False), source=0).count(),
+        extra=True,
+    )
+
     # ---- round-2 surfaces: timed separately so the headline total
     # stays comparable with BENCH_r01 (same query set).
     # The pattern extras push 10-100M-row wedge streams through their
