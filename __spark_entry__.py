@@ -71,7 +71,9 @@ from graphminer_spark.oracle_sql import (
     jaccard_all_pairs_sql,
     knn_sql,
     langid_sql,
+    linkpred_sql,
     lp_sql,
+    modularity_sql,
     lsh_neardup_sql,
     minhash_sql,
     pagerank_sql,
@@ -587,6 +589,36 @@ def _q_salsa5(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = tpch_edges(spark, sf_dir)
     return clustering_coefficient(edges, build_dag(edges))
+
+
+def _q_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # neighborhood link prediction (Liben-Nowell & Kleinberg): CN /
+    # Jaccard / Adamic-Adar / resource-allocation over the open-wedge
+    # stream, strongest 500 candidates by (cn DESC, u, v)
+    from graphminer_spark.algorithms.linkpred import link_prediction_scores
+
+    edges = tpch_edges(spark, sf_dir, divisor=SPARSE_DIVISOR)
+    return link_prediction_scores(symmetrize(edges, dedup=False), top_n=500)
+
+
+def _q_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # hash-priority Luby MIS (deterministic symmetry breaking); the
+    # oracle replays the same md5 priorities with the rounds unrolled
+    from graphminer_spark.algorithms.mis import maximal_independent_set
+
+    edges = tpch_edges(spark, sf_dir, divisor=SPARSE_DIVISOR)
+    mis, _ = maximal_independent_set(symmetrize(edges, dedup=False))
+    return mis
+
+
+def _q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Newman modularity of the 2-sweep LP partition — the publishable
+    # community-quality metric for the LP family
+    from graphminer_spark.algorithms.community import modularity
+
+    _, sym, verts = _graph_vertices(spark, sf_dir)
+    labels = label_propagation(sym, verts, n_iter=2).labels
+    return modularity(sym, labels)
 
 
 def _q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1245,6 +1277,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the temporal family's slot ---
         "graph_sssp": _q_sssp,
         "dyn_tri_delta": _q_dyn_tri,
+        # --- link prediction + Luby MIS + modularity (new components
+        # this session); mm_jpeg/mm_gif rotate past the cap (multimodal
+        # keeps png+wav in-cap) ---
+        "graph_linkpred": _q_linkpred,
+        "graph_mis": _q_mis,
+        "graph_modularity": _q_modularity,
         # --- patterns / motifs / cliques (rotated: 5 ← 4) ---
         "clique5_total": _q_clique5,
         # --- approx family driver slots: general rooted-tree color-set
@@ -1289,13 +1327,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # decode-to-samples (new components this round) ---
         "mm_png_pixel_stats": _q_mm_png_stats,
         "mm_wav_sample_stats": _q_mm_wav_stats,
-        "mm_jpeg_pixel_stats": _q_mm_jpeg_stats,
-        "mm_gif_frame_stats": _q_mm_gif_stats,
         # --- events + OLAP (rotated variants) ---
         # --- JSON property parsing (new component) ---
         "ev_props_json": _q_ev_props_json,
         "olap_top_parts": _q_top_parts,
         # ---------------- past the 50-entry driver cap ----------------
+        "mm_jpeg_pixel_stats": _q_mm_jpeg_stats,
+        "mm_gif_frame_stats": _q_mm_gif_stats,
         "tc_total_2d": _q_tc_2d,
         "motif5_counts": _q_motif5,
         "pagerank_5iter_csr": _q_pagerank5_csr,
@@ -1440,6 +1478,15 @@ def _path4_colorful_dp_r3_sql() -> str:
     return graph_query(
         colorful_path_dp_sql(4, n_colorings=3, per_coloring=True)
     )
+
+
+def _mis_oracle() -> str:
+    # 15-round unroll covers the Spark loop's observed round count at
+    # sf0.01 with margin (monotone elimination: extra rounds are
+    # identity; tests/test_round5b.py asserts rounds < 15)
+    from graphminer_spark.algorithms.mis import mis_sql
+
+    return graph_query(mis_sql(n_rounds=15), divisor=SPARSE_DIVISOR)
 
 
 def _rw_sample_sql() -> str:
@@ -1702,6 +1749,9 @@ def oracle_sql() -> dict[str, str]:
             "SELECT component, count(*) AS n_members FROM _cc GROUP BY component"
         ),
         "lp_labels_2iter": lp_sql(2),
+        "graph_linkpred": linkpred_sql(500, divisor=SPARSE_DIVISOR),
+        "graph_mis": _mis_oracle(),
+        "graph_modularity": modularity_sql(2),
         "pagerank_5iter": pagerank_sql(5),
         "ppr_5iter": ppr_sql(5, mod=PPR_SOURCE_MOD),
         "wpr_5iter": wpr_sql(5),

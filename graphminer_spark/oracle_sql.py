@@ -204,6 +204,53 @@ def lp_sql(n_iter: int) -> str:
     return f"WITH {', '.join(parts)} SELECT id, label FROM lp{n_iter}"
 
 
+def modularity_sql(n_iter: int = 2) -> str:
+    """Newman modularity of the ``n_iter``-sweep LP partition (exact
+    oracle for ``algorithms.community.modularity`` over
+    ``lp_labels_2iter``'s labels): integer numerators, two divisions."""
+    from graphminer_spark.algorithms.community import modularity_body_sql
+
+    parts = [
+        GRAPH_CTES,
+        "verts AS (SELECT id FROM deg)",
+        "lp0 AS (SELECT id, id AS label FROM verts)",
+    ]
+    for k in range(1, n_iter + 1):
+        parts.append(_lp_step(f"lp{k - 1}", f"lp{k}"))
+    parts.append(f"lab AS MATERIALIZED (SELECT id, label FROM lp{n_iter})")
+    return f"WITH {', '.join(parts)} {modularity_body_sql('lab')}"
+
+
+def linkpred_sql(top_n: int = 500, divisor: int = 60) -> str:
+    """Exact oracle for ``algorithms.linkpred.link_prediction_scores``:
+    the same open-wedge candidate stream, scored with CN / Jaccard /
+    Adamic-Adar / resource-allocation, ordered by the
+    integer-deterministic (cn DESC, u, v) and capped at ``top_n``."""
+    body = f"""
+SELECT u, v, cn, jaccard_s, aa_s, ra_s FROM (
+  WITH wedge AS (
+    SELECT s1.dst AS u, s2.dst AS v, d.deg AS wdeg
+    FROM sym s1 JOIN sym s2 ON s1.src = s2.src AND s1.dst < s2.dst
+    JOIN deg d ON d.id = s1.src
+  ),
+  cand AS (
+    SELECT w.u, w.v, count(*) AS cn,
+           sum(1.0 / ln(w.wdeg)) AS aa, sum(1.0 / w.wdeg) AS ra
+    FROM wedge w
+    WHERE NOT EXISTS (SELECT 1 FROM edges e WHERE e.src = w.u AND e.dst = w.v)
+    GROUP BY w.u, w.v
+  )
+  SELECT c.u, c.v, c.cn,
+         printf('%.6f', c.cn::DOUBLE / (du.deg + dv.deg - c.cn)::DOUBLE) AS jaccard_s,
+         printf('%.6f', c.aa) AS aa_s,
+         printf('%.6f', c.ra) AS ra_s
+  FROM cand c JOIN deg du ON du.id = c.u JOIN deg dv ON dv.id = c.v
+  ORDER BY c.cn DESC, c.u, c.v LIMIT {top_n}
+) t
+""".strip()
+    return graph_query(body, divisor=divisor)
+
+
 def _pr_step(prev: str, step: str, damping: float) -> str:
     """One power-iteration superstep with dangling-mass redistribution
     over the *directed* canonical edges (src → dst)."""

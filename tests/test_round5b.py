@@ -1,0 +1,115 @@
+"""Round-5 session-3 additions: link prediction, Luby MIS, modularity.
+
+Oracle rows exist for all three (``graph_linkpred`` / ``graph_mis`` /
+``graph_modularity``); these tests pin the *semantic* properties the
+value-hash can't express — independence + maximality of the MIS,
+brute-force agreement for the similarity indices, the modularity
+formula against a hand-computed partition — plus the unroll-margin
+invariant the DuckDB MIS oracle relies on.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from graphminer_spark.algorithms.community import modularity
+from graphminer_spark.algorithms.linkpred import link_prediction_scores
+from graphminer_spark.algorithms.mis import maximal_independent_set
+from graphminer_spark.graph.build import symmetrize
+from graphminer_spark.graph.tpch_edges import tpch_edges
+from tests.conftest import edges_df
+
+
+def _sym(spark, edges):
+    return symmetrize(edges_df(spark, edges), dedup=False)
+
+
+def test_linkpred_matches_bruteforce(spark):
+    # path 0-1-2-3 plus edge 1-3: candidates are the non-adjacent
+    # pairs with a common neighbor
+    edges = [(0, 1), (1, 2), (2, 3), (1, 3)]
+    rows = {
+        (r["u"], r["v"]): r
+        for r in link_prediction_scores(_sym(spark, edges)).collect()
+    }
+    adj = {0: {1}, 1: {0, 2, 3}, 2: {1, 3}, 3: {1, 2}}
+    expect = {}
+    for u in adj:
+        for v in adj:
+            if u < v and v not in adj[u]:
+                cn = adj[u] & adj[v]
+                if cn:
+                    expect[(u, v)] = cn
+    assert set(rows) == set(expect)  # {(0,2), (0,3)}
+    for (u, v), cn in expect.items():
+        r = rows[(u, v)]
+        assert r["cn"] == len(cn)
+        jac = len(cn) / len(adj[u] | adj[v])
+        aa = sum(1.0 / math.log(len(adj[w])) for w in cn)
+        ra = sum(1.0 / len(adj[w]) for w in cn)
+        assert r["jaccard_s"] == f"{jac:.6f}"
+        assert r["aa_s"] == f"{aa:.6f}"
+        assert r["ra_s"] == f"{ra:.6f}"
+
+
+def test_linkpred_excludes_existing_edges_and_orders_topn(spark):
+    edges = [(0, 1), (1, 2), (2, 3), (1, 3), (0, 4), (4, 2)]
+    df = link_prediction_scores(_sym(spark, edges), top_n=2)
+    got = [(r["u"], r["v"]) for r in df.collect()]
+    full = link_prediction_scores(_sym(spark, edges)).collect()
+    ranked = sorted(full, key=lambda r: (-r["cn"], r["u"], r["v"]))
+    assert got == [(r["u"], r["v"]) for r in ranked[:2]]
+    # no scored pair is an existing edge
+    es = {(min(a, b), max(a, b)) for a, b in edges}
+    assert not (set(got) & es)
+
+
+def test_mis_independent_and_maximal(spark):
+    edges = tpch_edges(spark, "/root/testdata/sf0.001", divisor=6)
+    sym = symmetrize(edges, dedup=False)
+    mis, rounds = maximal_independent_set(sym)
+    mis_set = {r["id"] for r in mis.collect()}
+    adj_rows = sym.collect()
+    # independent: no edge inside the set
+    assert not any(
+        r["src"] in mis_set and r["dst"] in mis_set for r in adj_rows
+    )
+    # maximal: every non-member has a neighbor in the set
+    nbrs: dict[int, set[int]] = {}
+    for r in adj_rows:
+        nbrs.setdefault(r["src"], set()).add(r["dst"])
+    assert all(
+        v in mis_set or (nbrs[v] & mis_set) for v in nbrs
+    )
+    # the sf0.01 DuckDB oracle unrolls 15 rounds; sf0.001 must finish
+    # well inside that margin (round count grows ~log n)
+    assert rounds < 15
+
+
+def test_mis_deterministic_across_parallelism(spark):
+    edges = tpch_edges(spark, "/root/testdata/sf0.001", divisor=6)
+    sym = symmetrize(edges, dedup=False)
+    a, _ = maximal_independent_set(sym.repartition(1))
+    b, _ = maximal_independent_set(sym.repartition(16))
+    assert sorted(r["id"] for r in a.collect()) == sorted(
+        r["id"] for r in b.collect()
+    )
+
+
+def test_modularity_hand_computed(spark):
+    # two triangles joined by one bridge edge; perfect 2-community
+    # partition: m=7, intra=6, each community degree sum = 7
+    # Q = 6/7 - 2*(7/14)^2 = 6/7 - 1/2
+    edges = [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5), (2, 3)]
+    sym = _sym(spark, edges)
+    labels = spark.createDataFrame(
+        [(i, 0 if i < 3 else 1) for i in range(6)], "id long, label long"
+    )
+    (row,) = modularity(sym, labels).collect()
+    assert row["q_s"] == f"{6 / 7 - 0.5:.6f}"
+    # the all-one-community partition has Q = intra/m2 - 1 = 0 exactly
+    ones = labels.select("id", F.lit(0).alias("label"))
+    (row1,) = modularity(sym, ones).collect()
+    assert row1["q_s"] == "0.000000"
