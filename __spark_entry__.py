@@ -621,6 +621,15 @@ def _q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return modularity(sym, labels)
 
 
+def _q_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # seeded Brandes betweenness (Brandes-Pich pivot estimator with
+    # md5-deterministic pivots); oracle replays both phases unrolled
+    from graphminer_spark.algorithms.betweenness import betweenness_centrality
+
+    edges = tpch_edges(spark, sf_dir, divisor=SPARSE_DIVISOR)
+    return betweenness_centrality(symmetrize(edges, dedup=False), seed_mod=2000)
+
+
 def _q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     sym = symmetrize(tpch_edges(spark, sf_dir), dedup=False)
     return degree_assortativity(sym).select(
@@ -1283,6 +1292,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_linkpred": _q_linkpred,
         "graph_mis": _q_mis,
         "graph_modularity": _q_modularity,
+        # --- seeded Brandes betweenness (new component);
+        # mm_wav rotates past the cap (multimodal keeps png) ---
+        "graph_betweenness": _q_betweenness,
         # --- patterns / motifs / cliques (rotated: 5 ← 4) ---
         "clique5_total": _q_clique5,
         # --- approx family driver slots: general rooted-tree color-set
@@ -1326,12 +1338,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- multimodal: REAL PNG decode-to-pixels + REAL WAV
         # decode-to-samples (new components this round) ---
         "mm_png_pixel_stats": _q_mm_png_stats,
-        "mm_wav_sample_stats": _q_mm_wav_stats,
         # --- events + OLAP (rotated variants) ---
         # --- JSON property parsing (new component) ---
         "ev_props_json": _q_ev_props_json,
         "olap_top_parts": _q_top_parts,
         # ---------------- past the 50-entry driver cap ----------------
+        "mm_wav_sample_stats": _q_mm_wav_stats,
         "mm_jpeg_pixel_stats": _q_mm_jpeg_stats,
         "mm_gif_frame_stats": _q_mm_gif_stats,
         "tc_total_2d": _q_tc_2d,
@@ -1487,6 +1499,15 @@ def _mis_oracle() -> str:
     from graphminer_spark.algorithms.mis import mis_sql
 
     return graph_query(mis_sql(n_rounds=15), divisor=SPARSE_DIVISOR)
+
+
+def _betweenness_oracle() -> str:
+    # 15-level unroll covers the sf0.01 eccentricity of every md5
+    # pivot with margin (empty levels pass zeros through; pytest
+    # asserts the Spark loop's level count < 15)
+    from graphminer_spark.algorithms.betweenness import betweenness_sql
+
+    return graph_query(betweenness_sql(2000, 15), divisor=SPARSE_DIVISOR)
 
 
 def _rw_sample_sql() -> str:
@@ -1752,6 +1773,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_linkpred": linkpred_sql(500, divisor=SPARSE_DIVISOR),
         "graph_mis": _mis_oracle(),
         "graph_modularity": modularity_sql(2),
+        "graph_betweenness": _betweenness_oracle(),
         "pagerank_5iter": pagerank_sql(5),
         "ppr_5iter": ppr_sql(5, mod=PPR_SOURCE_MOD),
         "wpr_5iter": wpr_sql(5),

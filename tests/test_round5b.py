@@ -98,6 +98,65 @@ def test_mis_deterministic_across_parallelism(spark):
     )
 
 
+def test_betweenness_matches_python_brandes(spark):
+    import collections
+    import hashlib
+
+    from graphminer_spark.algorithms.betweenness import betweenness_centrality
+
+    edges = tpch_edges(spark, "/root/testdata/sf0.001", divisor=6)
+    sym = symmetrize(edges, dedup=False)
+    df, n_levels = betweenness_centrality(
+        sym, seed_mod=200, return_levels=True
+    )
+    # the sf0.01 oracle unrolls 15 levels; level count grows with the
+    # pivot eccentricity, which shrinks as graphs densify with sf
+    assert n_levels < 15
+    got = {r["id"]: r["bc_s"] for r in df.collect()}
+    adj: dict[int, set[int]] = collections.defaultdict(set)
+    for r in sym.collect():
+        adj[r["src"]].add(r["dst"])
+    seeds = [
+        v
+        for v in adj
+        if int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16) % 200 == 0
+    ]
+    assert seeds  # fixture must exercise the non-trivial path
+    bc: dict[int, float] = collections.defaultdict(float)
+    for s in seeds:
+        dist = {s: 0}
+        sigma = {s: 1}
+        order = [s]
+        q = collections.deque([s])
+        while q:
+            v = q.popleft()
+            for w in sorted(adj[v]):
+                if w not in dist:
+                    dist[w] = dist[v] + 1
+                    sigma[w] = 0
+                    q.append(w)
+                    order.append(w)
+                if dist[w] == dist[v] + 1:
+                    sigma[w] += sigma[v]
+        delta: dict[int, float] = collections.defaultdict(float)
+        for v in reversed(order):
+            for w in adj[v]:
+                if dist.get(w) == dist[v] + 1:
+                    delta[v] += sigma[v] / sigma[w] * (1 + delta[w])
+            if v != s:
+                bc[v] += delta[v]
+    assert got == {v: f"{bc.get(v, 0.0):.6f}" for v in adj}
+
+
+def test_betweenness_no_seeds_all_zero(spark):
+    from graphminer_spark.algorithms.betweenness import betweenness_centrality
+
+    # a tiny path graph whose ids hash past any reachable seed slot
+    sym = _sym(spark, [(1, 2), (2, 3)])
+    df = betweenness_centrality(sym, seed_mod=10**9)
+    assert {r["bc_s"] for r in df.collect()} == {"0.000000"}
+
+
 def test_modularity_hand_computed(spark):
     # two triangles joined by one bridge edge; perfect 2-community
     # partition: m=7, intra=6, each community degree sum = 7
