@@ -934,6 +934,15 @@ def _q_dup_spans(spark, sf_dir):
     return dup_ngram_spans(_docs(spark, sf_dir), n=8)
 
 
+def _q_pack_layout(spark, sf_dir):
+    # GPT-style concat-and-chunk packing layout: per-doc absolute token
+    # offset + spanned block range via a two-phase (Blelloch) prefix
+    # sum — no global single-task window
+    from graphminer_spark.textops.packing import pack_sequences
+
+    return pack_sequences(_docs(spark, sf_dir), seq_len=512)
+
+
 def _q_quality(spark, sf_dir):
     return quality_score(_docs(spark, sf_dir))
 
@@ -1331,7 +1340,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_gopher_rep": _q_gopher_rep,
         # --- substring-level span dedup (new component) ---
         "docs_dup_spans": _q_dup_spans,
-        "emb_knn": _q_knn,
+        # --- sequence-packing layout (new component); emb_knn
+        # (driver-green r04) rotates past the cap — embeddings keep
+        # ivf_ann + semdedup in-cap ---
+        "docs_pack_layout": _q_pack_layout,
         "emb_ivf_ann": _q_ivf_ann,
         # --- SemDeDup semantic dedup over trained cells (new) ---
         "emb_semdedup": _q_semdedup,
@@ -1343,6 +1355,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_props_json": _q_ev_props_json,
         "olap_top_parts": _q_top_parts,
         # ---------------- past the 50-entry driver cap ----------------
+        "emb_knn": _q_knn,
         "mm_wav_sample_stats": _q_mm_wav_stats,
         "mm_jpeg_pixel_stats": _q_mm_jpeg_stats,
         "mm_gif_frame_stats": _q_mm_gif_stats,
@@ -1499,6 +1512,12 @@ def _mis_oracle() -> str:
     from graphminer_spark.algorithms.mis import mis_sql
 
     return graph_query(mis_sql(n_rounds=15), divisor=SPARSE_DIVISOR)
+
+
+def _pack_layout_sql() -> str:
+    from graphminer_spark.textops.packing import pack_sequences_sql
+
+    return pack_sequences_sql(512)
 
 
 def _betweenness_oracle() -> str:
@@ -1878,6 +1897,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "docs_token_count": TOKEN_COUNT_SQL,
         "docs_dup_spans": dup_spans_sql(8),
+        "docs_pack_layout": _pack_layout_sql(),
         "docs_gopher_rep": GOPHER_REP_SQL,
         "docs_contamination": contamination_sql(4, 50),
         "docs_pii_scrub": _pii_oracle(),

@@ -157,6 +157,31 @@ def test_betweenness_no_seeds_all_zero(spark):
     assert {r["bc_s"] for r in df.collect()} == {"0.000000"}
 
 
+def test_pack_sequences_layout_invariants(spark):
+    from graphminer_spark.textops.packing import pack_sequences
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    rows = sorted(
+        pack_sequences(docs, seq_len=512, n_parts=7).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    # offsets are the exact prefix sum in doc_id order — gap-free
+    off = 0
+    for r in rows:
+        assert r["start_off"] == off
+        assert r["first_block"] == off // 512
+        assert r["last_block"] == (off + r["n_tokens"] - 1) // 512
+        assert r["n_splits"] == r["last_block"] - r["first_block"]
+        off += r["n_tokens"]
+    # partition-count independence: the scan is two-phase, so the
+    # layout cannot depend on how ranges were cut
+    alt = sorted(
+        pack_sequences(docs, seq_len=512, n_parts=2).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    assert [tuple(r) for r in alt] == [tuple(r) for r in rows]
+
+
 def test_modularity_hand_computed(spark):
     # two triangles joined by one bridge edge; perfect 2-community
     # partition: m=7, intra=6, each community degree sum = 7
