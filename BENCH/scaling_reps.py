@@ -1,4 +1,5 @@
-"""Best-of-N repetition scaling evidence for TC, CC, PageRank and LP.
+"""Best-of-N repetition scaling evidence for TC, CC, PageRank, LP and
+Louvain.
 
 Single runs on this host carry up to ±40% hypervisor noise plus a
 cold-JIT penalty (see BENCH/BASELINE.md measurement notes), so the
@@ -33,6 +34,7 @@ from graphminer_spark.algorithms.triangles import triangle_count
 from graphminer_spark.algorithms.components import connected_components
 from graphminer_spark.algorithms.pagerank import pagerank
 from graphminer_spark.algorithms.labelprop import label_propagation
+from graphminer_spark.algorithms.community import louvain_one_level
 
 n_exec = %(n_exec)d
 spark = get_spark(
@@ -70,6 +72,7 @@ rep("cc", lambda: connected_components(cc_edges, verts).count())
 rep("pagerank_6iter", lambda: pagerank(sym, verts, tol=0.0, max_iter=6,
                                        lineage_every=3))
 rep("lp_4iter", lambda: label_propagation(sym, verts, n_iter=4).labels.count())
+rep("louvain_2rounds", lambda: louvain_one_level(sym, n_rounds=2).count())
 out["pr_edges_per_superstep"] = m2
 print("REPS_JSON:" + json.dumps(out))
 spark.stop()
@@ -108,7 +111,7 @@ def main() -> None:
     results = {c: run_level(c, reps, cfg) for c in (lo, hi)}
     md = [
         "",
-        "## Suite repetition protocol (best-of-N, warm JIT) — TC / CC / PR / LP",
+        "## Suite repetition protocol (best-of-N, warm JIT) — TC / CC / PR / LP / Louvain",
         "",
         f"Each algorithm repeated {reps}× inside one session per level "
         "(rep 1 is cold-JIT/cold-cache), best repetition compared — the "

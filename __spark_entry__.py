@@ -621,6 +621,39 @@ def _q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return modularity(sym, labels)
 
 
+def _q_louvain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # one-level Louvain local moves (parity-alternating, integer gain
+    # arithmetic); the oracle replays all 4 rounds bit-for-bit
+    from graphminer_spark.algorithms.community import louvain_one_level
+
+    edges = tpch_edges(spark, sf_dir, divisor=SPARSE_DIVISOR)
+    return louvain_one_level(symmetrize(edges, dedup=False), n_rounds=4)
+
+
+# subsample for the coloring gate row: JP's round count tracks the
+# longest decreasing-priority path (~40 on the mod-3 graph vs ~52
+# full), and gate latency is rounds-bound on both engines
+COLORING_SAMPLE_MOD = 3
+
+
+def _q_coloring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Jones–Plassmann greedy coloring (md5 priorities, relational mex)
+    from graphminer_spark.algorithms.coloring import greedy_coloring
+
+    edges = tpch_edges(
+        spark, sf_dir, divisor=SPARSE_DIVISOR, sample_mod=COLORING_SAMPLE_MOD
+    )
+    out, _ = greedy_coloring(symmetrize(edges, dedup=False))
+    return out
+
+
+def _q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # BPE trainer's level-0 pair statistics (merge iteration 1's input)
+    from graphminer_spark.textops.bpe import bpe_pairs_topn
+
+    return bpe_pairs_topn(_docs(spark, sf_dir), n=30)
+
+
 def _q_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
     # seeded Brandes betweenness (Brandes-Pich pivot estimator with
     # md5-deterministic pivots); oracle replays both phases unrolled
@@ -1289,7 +1322,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- SALSA (new component); hits_5iter (driver-green r04)
         # rotated past the cap — link-analysis keeps this slot ---
         "salsa_5iter": _q_salsa5,
-        "graph_clustering": _q_clustering,
         # --- weighted SSSP (new component); temporal_tri_count
         # (driver-green r04) rotated past the cap, dyn_tri_delta keeps
         # the temporal family's slot ---
@@ -1301,6 +1333,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_linkpred": _q_linkpred,
         "graph_mis": _q_mis,
         "graph_modularity": _q_modularity,
+        # --- one-level Louvain + Jones–Plassmann coloring (new
+        # components this session); graph_clustering (driver-green
+        # r04, hits family keeps salsa_5iter in-cap) and
+        # motif4_counts (driver-green r04, patterns family keeps
+        # clique5/tree_chair/path4_dp_r3 in-cap) rotate past the cap ---
+        "graph_louvain": _q_louvain,
+        "graph_coloring": _q_coloring,
         # --- seeded Brandes betweenness (new component);
         # mm_wav rotates past the cap (multimodal keeps png) ---
         "graph_betweenness": _q_betweenness,
@@ -1310,11 +1349,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # DP + the R=3 variance-reduced estimator (new component) ---
         "tree_chair_colorful": _q_tree_chair_colorful,
         "path4_colorful_dp_r3": _q_path4_colorful_dp_r3,
-        "motif4_counts": _q_motif4,
         # --- sampling sources (new component) ---
         "graph_rw_sample": _q_rw_sample,
-        # --- labels / features / FSM / Query pipeline / GKS / bipartite ---
-        "graph_label_freq": _q_label_freq,
+        # --- labels / features / FSM / Query pipeline / GKS /
+        # bipartite; graph_label_freq (driver-green r04) rotates past
+        # the cap — nlf + feat_agg keep the label family's slots ---
         "graph_nlf": _q_nlf,
         "graph_feat_agg": _q_feat_agg,
         "labeled_tri_count": _q_labeled_tri,
@@ -1344,6 +1383,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (driver-green r04) rotates past the cap — embeddings keep
         # ivf_ann + semdedup in-cap ---
         "docs_pack_layout": _q_pack_layout,
+        # --- BPE tokenizer trainer (new component this session) ---
+        "docs_bpe_pairs": _q_bpe_pairs,
         "emb_ivf_ann": _q_ivf_ann,
         # --- SemDeDup semantic dedup over trained cells (new) ---
         "emb_semdedup": _q_semdedup,
@@ -1355,6 +1396,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_props_json": _q_ev_props_json,
         "olap_top_parts": _q_top_parts,
         # ---------------- past the 50-entry driver cap ----------------
+        "motif4_counts": _q_motif4,
+        "graph_clustering": _q_clustering,
+        "graph_label_freq": _q_label_freq,
         "emb_knn": _q_knn,
         "mm_wav_sample_stats": _q_mm_wav_stats,
         "mm_jpeg_pixel_stats": _q_mm_jpeg_stats,
@@ -1518,6 +1562,31 @@ def _pack_layout_sql() -> str:
     from graphminer_spark.textops.packing import pack_sequences_sql
 
     return pack_sequences_sql(512)
+
+
+def _louvain_oracle() -> str:
+    # 4 fixed rounds, replayed exactly (integer gains + md5 parity)
+    from graphminer_spark.algorithms.community import louvain_sql
+
+    return graph_query(louvain_sql(4), divisor=SPARSE_DIVISOR)
+
+
+def _coloring_oracle() -> str:
+    # 46-round unroll covers the Spark loop's observed 40 rounds on the
+    # mod-3 graph with margin (monotone elimination: once every vertex
+    # is colored, extra rounds are identity; pytest asserts the Spark
+    # round count stays under the unroll)
+    from graphminer_spark.algorithms.coloring import coloring_sql
+
+    return graph_query(
+        coloring_sql(46), divisor=SPARSE_DIVISOR, sample_mod=COLORING_SAMPLE_MOD
+    )
+
+
+def _bpe_pairs_oracle() -> str:
+    from graphminer_spark.textops.bpe import bpe_pairs_sql
+
+    return bpe_pairs_sql(30)
 
 
 def _betweenness_oracle() -> str:
@@ -1792,6 +1861,8 @@ def oracle_sql() -> dict[str, str]:
         "graph_linkpred": linkpred_sql(500, divisor=SPARSE_DIVISOR),
         "graph_mis": _mis_oracle(),
         "graph_modularity": modularity_sql(2),
+        "graph_louvain": _louvain_oracle(),
+        "graph_coloring": _coloring_oracle(),
         "graph_betweenness": _betweenness_oracle(),
         "pagerank_5iter": pagerank_sql(5),
         "ppr_5iter": ppr_sql(5, mod=PPR_SOURCE_MOD),
@@ -1898,6 +1969,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_token_count": TOKEN_COUNT_SQL,
         "docs_dup_spans": dup_spans_sql(8),
         "docs_pack_layout": _pack_layout_sql(),
+        "docs_bpe_pairs": _bpe_pairs_oracle(),
         "docs_gopher_rep": GOPHER_REP_SQL,
         "docs_contamination": contamination_sql(4, 50),
         "docs_pii_scrub": _pii_oracle(),

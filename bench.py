@@ -172,6 +172,35 @@ def main() -> None:
         extra=True,
     )
 
+    # ---- round-5 session-4 additions: Louvain / JP coloring / BPE
+    from graphminer_spark.algorithms.coloring import greedy_coloring  # noqa: E402
+    from graphminer_spark.algorithms.community import (  # noqa: E402
+        louvain_one_level,
+    )
+    from graphminer_spark.textops.bpe import train_bpe  # noqa: E402
+
+    sym_sp = symmetrize(e_sp, dedup=False)
+    timed(
+        "louvain_4rounds",
+        lambda: louvain_one_level(sym_sp, n_rounds=4).count(),
+        extra=True,
+    )
+    e_col = tpch_edges(spark, sf_dir, divisor=6, sample_mod=8)
+    timed(
+        "coloring_jp",
+        lambda: greedy_coloring(symmetrize(e_col, dedup=False))[0].count(),
+        extra=True,
+    )
+
+    def _bpe():
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        merges, seg = train_bpe(docs, n_merges=8)
+        n = seg.count()
+        seg.unpersist()
+        return n
+
+    timed("bpe_train_8merges", _bpe, extra=True)
+
     # ---- round-2 surfaces: timed separately so the headline total
     # stays comparable with BENCH_r01 (same query set).
     # The pattern extras push 10-100M-row wedge streams through their
