@@ -636,6 +636,17 @@ def _q_louvain(spark: SparkSession, sf_dir: str) -> DataFrame:
 COLORING_SAMPLE_MOD = 3
 
 
+def _q_louvain_w(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # weighted one-level Louvain (strengths = Σw, integer gains) over
+    # the sssp module's md5-derived edge weights — the host-graph form
+    from graphminer_spark.algorithms.community import louvain_one_level
+    from graphminer_spark.algorithms.sssp import weighted_edges
+
+    edges = tpch_edges(spark, sf_dir, divisor=SPARSE_DIVISOR)
+    wsym = weighted_edges(symmetrize(edges, dedup=False))
+    return louvain_one_level(wsym, n_rounds=4, weight_col="w")
+
+
 def _q_coloring(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Jones–Plassmann greedy coloring (md5 priorities, relational mex)
     from graphminer_spark.algorithms.coloring import greedy_coloring
@@ -645,6 +656,24 @@ def _q_coloring(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out, _ = greedy_coloring(symmetrize(edges, dedup=False))
     return out
+
+
+def _q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # DSIR importance weights (target = English docs): exact integer
+    # Σ c_d(b)·λ_b over md5-hashed unigram buckets; the ln-derived λ
+    # table is floored to basis points once (see textops/dsir.py)
+    from graphminer_spark.textops.dsir import (
+        dsir_log_ratios,
+        dsir_weights,
+        hashed_feature_counts,
+    )
+
+    docs = _docs(spark, sf_dir)
+    target = docs.filter(F.col("lang") == "en")
+    lam = dsir_log_ratios(
+        hashed_feature_counts(target), hashed_feature_counts(docs)
+    )
+    return dsir_weights(docs, lam)
 
 
 def _q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1396,6 +1425,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_props_json": _q_ev_props_json,
         "olap_top_parts": _q_top_parts,
         # ---------------- past the 50-entry driver cap ----------------
+        "graph_louvain_w": _q_louvain_w,
+        "docs_dsir_weights": _q_dsir_weights,
         "motif4_counts": _q_motif4,
         "graph_clustering": _q_clustering,
         "graph_label_freq": _q_label_freq,
@@ -1571,6 +1602,14 @@ def _louvain_oracle() -> str:
     return graph_query(louvain_sql(4), divisor=SPARSE_DIVISOR)
 
 
+def _louvain_w_oracle() -> str:
+    # weighted form: same 4-round replay with the sssp md5 weights
+    from graphminer_spark.algorithms.community import louvain_sql
+    from graphminer_spark.algorithms.sssp import _W_SQL
+
+    return graph_query(louvain_sql(4, w_expr=_W_SQL), divisor=SPARSE_DIVISOR)
+
+
 def _coloring_oracle() -> str:
     # 46-round unroll covers the Spark loop's observed 40 rounds on the
     # mod-3 graph with margin (monotone elimination: once every vertex
@@ -1587,6 +1626,12 @@ def _bpe_pairs_oracle() -> str:
     from graphminer_spark.textops.bpe import bpe_pairs_sql
 
     return bpe_pairs_sql(30)
+
+
+def _dsir_weights_oracle() -> str:
+    from graphminer_spark.textops.dsir import dsir_weights_sql
+
+    return dsir_weights_sql("lang = 'en'")
 
 
 def _betweenness_oracle() -> str:
@@ -1862,6 +1907,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_mis": _mis_oracle(),
         "graph_modularity": modularity_sql(2),
         "graph_louvain": _louvain_oracle(),
+        "graph_louvain_w": _louvain_w_oracle(),
         "graph_coloring": _coloring_oracle(),
         "graph_betweenness": _betweenness_oracle(),
         "pagerank_5iter": pagerank_sql(5),
@@ -1970,6 +2016,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_dup_spans": dup_spans_sql(8),
         "docs_pack_layout": _pack_layout_sql(),
         "docs_bpe_pairs": _bpe_pairs_oracle(),
+        "docs_dsir_weights": _dsir_weights_oracle(),
         "docs_gopher_rep": GOPHER_REP_SQL,
         "docs_contamination": contamination_sql(4, 50),
         "docs_pii_scrub": _pii_oracle(),

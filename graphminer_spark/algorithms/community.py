@@ -85,8 +85,16 @@ def louvain_one_level(
     sym_edges: DataFrame,
     n_rounds: int = 4,
     checkpointer: "CheckpointManager | None" = None,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """One-level Louvain local moves, deterministic → ``(id, c)``.
+
+    ``weight_col`` names a positive integer edge-weight column on
+    ``sym_edges`` (both directions of an undirected edge must carry
+    the same weight); degrees become strengths (Σw), 2m becomes the
+    total weight, and every gain stays integer — the weighted form a
+    host-level webgraph rollup needs (link counts as weights). ``None``
+    = unweighted (w ≡ 1).
 
     Blondel et al. 2008's phase-1 sweep visits vertices sequentially —
     inherently serial. Naive synchronous parallelization oscillates:
@@ -135,10 +143,19 @@ def louvain_one_level(
     from graphminer_spark.checkpoint import CheckpointManager, superstep_planning
 
     ckpt = checkpointer or CheckpointManager(None)
-    e = sym_edges.select("src", "dst").repartition("dst").persist()
-    s_total = e.count()  # |sym| = 2m
+    w = (
+        F.col(weight_col).cast("long")
+        if weight_col
+        else F.lit(1).cast("long")
+    )
+    e = (
+        sym_edges.select("src", "dst", w.alias("w"))
+        .repartition("dst")
+        .persist()
+    )
+    s_total = e.agg(F.sum("w")).collect()[0][0]  # Σw over sym = 2m
     deg = e.groupBy(F.col("src").alias("id")).agg(
-        F.count("*").cast("long").alias("deg")
+        F.sum("w").cast("long").alias("deg")
     )
     comm = deg.select(
         "id", "deg", F.col("id").alias("c"), (_prio(F.col("id")) % 2).alias("p")
@@ -154,7 +171,7 @@ def louvain_one_level(
             kvc = (
                 e.join(nbr_c, "dst")
                 .groupBy(F.col("src").alias("id"), F.col("nc").alias("c"))
-                .agg(F.count("*").cast("long").alias("kvc"))
+                .agg(F.sum("w").cast("long").alias("kvc"))
             )
             cand = (
                 kvc.unionByName(
@@ -237,15 +254,19 @@ def louvain_one_level(
     return comm.select("id", "c")
 
 
-def louvain_sql(n_rounds: int = 4) -> str:
+def louvain_sql(n_rounds: int = 4, w_expr: str = "1") -> str:
     """DuckDB body replaying :func:`louvain_one_level` with the rounds
-    unrolled (over the shared ``sym``/``deg`` CTEs). Every quantity is
-    integer (S·k_vc − tot·deg gains, md5 commit priorities, window
-    tie-break mirroring the max_by struct), so agreement is exact."""
+    unrolled (over the shared ``sym`` CTE). ``w_expr`` is a SQL
+    expression over (src, dst) for the edge weight — ``"1"`` replays
+    the unweighted form. Every quantity is integer (S·k_vc − tot·deg
+    gains, md5 parity classes, window tie-break mirroring the max_by
+    struct), so agreement is exact."""
     parts = [
-        "s2 AS (SELECT count(*) AS s FROM sym)",
-        "c0 AS MATERIALIZED (SELECT id, deg, id AS c, "
-        "(('0x' || substr(md5(id::VARCHAR), 1, 8))::BIGINT % 2) AS p FROM deg)",
+        f"lsym AS MATERIALIZED (SELECT src, dst, ({w_expr})::BIGINT AS w FROM sym)",
+        "s2 AS (SELECT sum(w) AS s FROM lsym)",
+        "c0 AS MATERIALIZED (SELECT src AS id, sum(w)::BIGINT AS deg, src AS c, "
+        "(('0x' || substr(md5(src::VARCHAR), 1, 8))::BIGINT % 2) AS p "
+        "FROM lsym GROUP BY src)",
     ]
     for t in range(1, n_rounds + 1):
         p = f"c{t - 1}"
@@ -254,8 +275,8 @@ def louvain_sql(n_rounds: int = 4) -> str:
             f"tot{t} AS (SELECT c, sum(deg) AS tot FROM {p} GROUP BY c)"
         )
         parts.append(
-            f"kvc{t} AS (SELECT s.src AS id, n.c AS c, count(*)::BIGINT AS kvc "
-            f"FROM sym s JOIN {p} n ON n.id = s.dst GROUP BY s.src, n.c)"
+            f"kvc{t} AS (SELECT s.src AS id, n.c AS c, sum(s.w)::BIGINT AS kvc "
+            f"FROM lsym s JOIN {p} n ON n.id = s.dst GROUP BY s.src, n.c)"
         )
         parts.append(
             f"cand{t} AS (SELECT id, c, sum(kvc) AS kvc FROM ("

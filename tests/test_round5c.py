@@ -328,3 +328,146 @@ def test_bpe_encode_oov_falls_back_to_chars(spark):
     # 'aa' uses the trained merge
     assert out[7] == ["x", "y", "z", EOW, "aa", EOW]
     seg.unpersist()
+
+
+def test_louvain_weighted_follows_heavy_edges(spark):
+    """Weighted form: a heavy bridge binds its endpoints into one
+    community even when unit weights would separate the triangles."""
+    w = {(2, 3): 100}
+    rows = [
+        (a, b, w.get((a, b), 1)) for a, b in TWO_TRIANGLES
+    ]
+    df = spark.createDataFrame(rows, "src long, dst long, w long")
+    wsym = df.unionByName(
+        df.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+        )
+    )
+    out = {
+        r["id"]: r["c"]
+        for r in louvain_one_level(
+            wsym, n_rounds=4, weight_col="w"
+        ).collect()
+    }
+    assert out[2] == out[3]
+    # unweighted control: the same rounds keep the triangles apart
+    un = {
+        r["id"]: r["c"]
+        for r in louvain_one_level(
+            wsym.drop("w"), n_rounds=4
+        ).collect()
+    }
+    assert un[2] != un[3]
+
+
+# ---------------------------------------------------------------- dsir
+
+
+def test_dsir_weights_match_numpy(spark):
+    """λ table and per-doc weights vs an independent numpy replay
+    (Laplace-smoothed hashed-unigram log ratios, Xie et al. 2023)."""
+    import hashlib
+    import math
+
+    from graphminer_spark.textops.dsir import (
+        N_BUCKETS,
+        dsir_log_ratios,
+        dsir_weights,
+        hashed_feature_counts,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    pdf = docs.select("doc_id", "text", "lang").collect()
+
+    def bucket(w):
+        return int(hashlib.md5(w.encode()).hexdigest()[:8], 16) % N_BUCKETS
+
+    ct, cr = collections.Counter(), collections.Counter()
+    feats = {}
+    for r in pdf:
+        bs = [bucket(w) for w in r["text"].split(" ") if w]
+        feats[r["doc_id"]] = bs
+        for b in bs:
+            cr[b] += 1
+            if r["lang"] == "en":
+                ct[b] += 1
+    tt, tr = sum(ct.values()), sum(cr.values())
+    lam_ref = {
+        b: math.floor(
+            10000.0
+            * (
+                math.log(ct[b] + 1.0)
+                - math.log(tt + N_BUCKETS)
+                - math.log(cr[b] + 1.0)
+                + math.log(tr + N_BUCKETS)
+            )
+        )
+        for b in range(N_BUCKETS)
+    }
+    target = docs.filter(F.col("lang") == "en")
+    lam_df = dsir_log_ratios(
+        hashed_feature_counts(target), hashed_feature_counts(docs)
+    )
+    lam = {r["bucket"]: r["lam_bp"] for r in lam_df.collect()}
+    assert lam == lam_ref
+    w = {
+        r["doc_id"]: (r["n_feats"], r["logw_bp"])
+        for r in dsir_weights(docs, lam_df).collect()
+    }
+    for doc_id, bs in feats.items():
+        assert w[doc_id] == (len(bs), sum(lam_ref[b] for b in bs))
+
+
+def test_dsir_favors_target_like_docs(spark):
+    """English docs (the target) must carry higher mean importance
+    weight per feature than the rest of the pool."""
+    from graphminer_spark.textops.dsir import (
+        dsir_log_ratios,
+        dsir_weights,
+        hashed_feature_counts,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    target = docs.filter(F.col("lang") == "en")
+    lam = dsir_log_ratios(
+        hashed_feature_counts(target), hashed_feature_counts(docs)
+    )
+    w = dsir_weights(docs, lam).join(docs.select("doc_id", "lang"), "doc_id")
+    means = {
+        r["is_en"]: r["m"]
+        for r in w.groupBy((F.col("lang") == "en").alias("is_en"))
+        .agg(
+            F.avg(F.col("logw_bp") / F.col("n_feats")).alias("m")
+        )
+        .collect()
+    }
+    assert means[True] > means[False]
+
+
+def test_dsir_resample_deterministic_and_sized(spark):
+    from graphminer_spark.textops.dsir import (
+        dsir_log_ratios,
+        dsir_resample,
+        dsir_weights,
+        hashed_feature_counts,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    target = docs.filter(F.col("lang") == "en")
+    lam = dsir_log_ratios(
+        hashed_feature_counts(target), hashed_feature_counts(docs)
+    )
+    w = dsir_weights(docs, lam)
+    a = dsir_resample(docs, w, n=50)
+    b = dsir_resample(docs.repartition(11), w, n=50)
+    ids_a = sorted(r["doc_id"] for r in a.collect())
+    ids_b = sorted(r["doc_id"] for r in b.collect())
+    assert len(ids_a) == 50 and ids_a == ids_b
+    # the Gumbel-perturbed draw must still lean toward the target:
+    # above the 43.6% base rate (21.8/50 expected under uniform
+    # sampling; deterministic fixture draws 24)
+    sel = spark.createDataFrame([(i,) for i in ids_a], "doc_id long")
+    n_en = (
+        docs.join(sel, "doc_id").filter(F.col("lang") == "en").count()
+    )
+    assert n_en > 21
