@@ -163,31 +163,44 @@ def louvain_one_level(
     comm = ckpt.save(comm, 0, {"algo": "louvain"})
     with superstep_planning(sym_edges.sparkSession, s_total):
         for t in range(1, n_rounds + 1):
+            par_t = (t - 1) % 2
             tot = comm.groupBy("c").agg(F.sum("deg").alias("tot"))
-            # propose: k_vc for every vertex over its neighbor
-            # communities, current community always a candidate (kvc
-            # may be 0 when no neighbor shares it; groupBy-sum dedups)
+            # propose: k_vc over neighbor communities — computed only
+            # for THIS round's parity class (the md5 parity is a pure
+            # function of the id, so the restriction is a map-side
+            # filter, not a join; the oracle computes all vertices and
+            # filters at `want`, which is the same result). The current
+            # community is always a candidate (kvc may be 0 when no
+            # neighbor shares it; the groupBy-sum dedups it).
             nbr_c = comm.select(F.col("id").alias("dst"), F.col("c").alias("nc"))
             kvc = (
                 e.join(nbr_c, "dst")
+                .filter((_prio(F.col("src")) % 2) == par_t)
                 .groupBy(F.col("src").alias("id"), F.col("nc").alias("c"))
                 .agg(F.sum("w").cast("long").alias("kvc"))
             )
+            movers_cur = comm.filter(F.col("p") == par_t)
             cand = (
                 kvc.unionByName(
-                    comm.select("id", "c", F.lit(0).cast("long").alias("kvc"))
+                    movers_cur.select(
+                        "id", "c", F.lit(0).cast("long").alias("kvc")
+                    )
                 )
                 .groupBy("id", "c")
                 .agg(F.sum("kvc").alias("kvc"))
             )
             scored = (
                 cand.join(
-                    comm.select("id", "deg", F.col("c").alias("c_cur")), "id"
+                    movers_cur.select(
+                        "id", "deg", F.col("c").alias("c_cur")
+                    ),
+                    "id",
                 )
                 .join(tot, "c")
                 .select(
                     "id",
                     "c",
+                    "c_cur",
                     (
                         F.lit(s_total) * F.col("kvc")
                         - (
@@ -200,21 +213,20 @@ def louvain_one_level(
                     (F.col("c") == F.col("c_cur")).cast("int").alias("stay"),
                 )
             )
+            # the argmax payload carries (c, stay, c_cur) so `want`
+            # needs no re-join against comm
             best = scored.groupBy("id").agg(
                 F.max_by(
-                    F.struct(F.col("c"), F.col("stay")),
+                    F.struct(F.col("c"), F.col("stay"), F.col("c_cur")),
                     F.struct(
                         F.col("gain"), F.col("stay"), (-F.col("c")).alias("nc")
                     ),
                 ).alias("b")
             )
-            want = (
-                best.filter(F.col("b.stay") == 0)
-                .join(
-                    comm.select("id", F.col("c").alias("c_cur"), "p"), "id"
-                )
-                .filter(F.col("p") == (t - 1) % 2)
-                .select("id", F.col("b.c").alias("c_new"), "c_cur")
+            want = best.filter(F.col("b.stay") == 0).select(
+                "id",
+                F.col("b.c").alias("c_new"),
+                F.col("b.c_cur").alias("c_cur"),
             )
             # commit: every strict-improvement proposal EXCEPT the
             # singleton↔singleton swap (Grappolo's heuristic): two
