@@ -647,6 +647,23 @@ def _q_louvain_w(spark: SparkSession, sf_dir: str) -> DataFrame:
     return louvain_one_level(wsym, n_rounds=4, weight_col="w")
 
 
+def _q_louvain_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Newman modularity OF the Louvain partition — the quality number
+    # that justifies the community pass (LP's partition scores
+    # negative on this graph; Louvain's must be positive)
+    from graphminer_spark.algorithms.community import (
+        louvain_one_level,
+        modularity,
+    )
+
+    edges = tpch_edges(spark, sf_dir, divisor=SPARSE_DIVISOR)
+    sym = symmetrize(edges, dedup=False)
+    labels = louvain_one_level(sym, n_rounds=4).select(
+        "id", F.col("c").alias("label")
+    )
+    return modularity(sym, labels)
+
+
 def _q_coloring(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Jones–Plassmann greedy coloring (md5 priorities, relational mex)
     from graphminer_spark.algorithms.coloring import greedy_coloring
@@ -1426,6 +1443,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "olap_top_parts": _q_top_parts,
         # ---------------- past the 50-entry driver cap ----------------
         "graph_louvain_w": _q_louvain_w,
+        "graph_louvain_q": _q_louvain_q,
         "docs_dsir_weights": _q_dsir_weights,
         "motif4_counts": _q_motif4,
         "graph_clustering": _q_clustering,
@@ -1608,6 +1626,22 @@ def _louvain_w_oracle() -> str:
     from graphminer_spark.algorithms.sssp import _W_SQL
 
     return graph_query(louvain_sql(4, w_expr=_W_SQL), divisor=SPARSE_DIVISOR)
+
+
+def _louvain_q_oracle() -> str:
+    # modularity of the replayed Louvain partition: the unrolled
+    # 4-round body nests as a labels CTE under the shared sym/deg CTEs
+    from graphminer_spark.algorithms.community import (
+        louvain_sql,
+        modularity_body_sql,
+    )
+
+    body = (
+        f"SELECT q_s FROM (WITH lab AS MATERIALIZED ("
+        f"SELECT id, c AS label FROM ({louvain_sql(4)}) lvt) "
+        f"{modularity_body_sql('lab')}) z"
+    )
+    return graph_query(body, divisor=SPARSE_DIVISOR)
 
 
 def _coloring_oracle() -> str:
@@ -1908,6 +1942,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_modularity": modularity_sql(2),
         "graph_louvain": _louvain_oracle(),
         "graph_louvain_w": _louvain_w_oracle(),
+        "graph_louvain_q": _louvain_q_oracle(),
         "graph_coloring": _coloring_oracle(),
         "graph_betweenness": _betweenness_oracle(),
         "pagerank_5iter": pagerank_sql(5),
