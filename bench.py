@@ -201,6 +201,24 @@ def main() -> None:
 
     timed("bpe_train_8merges", _bpe, extra=True)
 
+    def _dsir():
+        from pyspark.sql import functions as FF
+
+        from graphminer_spark.textops.dsir import (  # noqa: E402
+            dsir_log_ratios,
+            dsir_weights,
+            hashed_feature_counts,
+        )
+
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        lam = dsir_log_ratios(
+            hashed_feature_counts(docs.filter(FF.col("lang") == "en")),
+            hashed_feature_counts(docs),
+        )
+        return dsir_weights(docs, lam).count()
+
+    timed("dsir_weights", _dsir, extra=True)
+
     # ---- round-2 surfaces: timed separately so the headline total
     # stays comparable with BENCH_r01 (same query set).
     # The pattern extras push 10-100M-row wedge streams through their
