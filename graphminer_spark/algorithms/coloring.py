@@ -68,100 +68,97 @@ def greedy_coloring(
     )
 
     ckpt = checkpointer or CheckpointManager(None)
-    full_e = sym_edges.select("src", "dst").persist()
+    # ONE vertex-state table (id, p, color-or-NULL) replaces the four
+    # per-round tables of the r05 shape (active_v / active_e / colored
+    # / new_colors): a single dst-keyed join of the static edge table
+    # against the state yields BOTH the winner test (max active-
+    # neighbor priority = max over rows with NULL neighbor color) and
+    # the mex input (set of non-NULL neighbor colors) in one groupBy —
+    # the round is ONE exchange + one state checkpoint where the old
+    # plan ran ~5 exchanges and 4 lazy checkpoints per round. Winner
+    # sets and mex inputs are value-identical to the r05 plan (active
+    # == color IS NULL; the colored table == non-NULL colors of the
+    # previous round's state), so the coloring and the round count are
+    # bit-for-bit unchanged.
+    full_e = sym_edges.select("src", "dst").repartition("dst").persist()
     n_sym = full_e.count()
     verts = full_e.select(F.col("src").alias("id")).distinct()
-    active_v = ckpt.save(
-        verts.withColumn("p", _prio(F.col("id"))),
-        0,
-        {"algo": "coloring", "kind": "v"},
+    state = verts.select(
+        "id",
+        _prio(F.col("id")).alias("p"),
+        F.lit(None).cast("int").alias("color"),
     )
-    active_e = full_e
-    colored_parts: list[DataFrame] = []
-    # colored table accumulates (id, color); each round only winners'
-    # neighborhoods read it, keyed by dst — one hash join per round
-    colored = verts.select("id", F.lit(0).alias("color")).limit(0)
+    state = ckpt.save(state, 0, {"algo": "coloring", "kind": "state"})
     rounds = 0
+    last_n = 0
     with superstep_planning(sym_edges.sparkSession, n_sym):
         for rounds in range(1, max_rounds + 1):
-            pr = active_v.select(
-                F.col("id").alias("nid"), F.col("p").alias("np")
+            nb = full_e.join(
+                state.select(
+                    F.col("id").alias("dst"),
+                    F.col("p").alias("np"),
+                    F.col("color").alias("ncol"),
+                ),
+                "dst",
             )
-            nb_max = (
-                active_e.join(pr, active_e["dst"] == pr["nid"])
-                .groupBy(F.col("src").alias("id"))
-                .agg(F.max(F.struct("np", "nid")).alias("mx"))
-            )
-            winners = (
-                active_v.join(nb_max, "id", "left")
-                .filter(
-                    F.col("mx").isNull()
-                    | (
-                        F.struct(
-                            F.col("p").alias("np"), F.col("id").alias("nid")
-                        )
-                        > F.col("mx")
+            grouped = nb.groupBy(F.col("src").alias("id")).agg(
+                F.max(
+                    F.when(
+                        F.col("ncol").isNull(),
+                        F.struct(F.col("np"), F.col("dst").alias("nid")),
                     )
-                )
-                .select("id")
+                ).alias("mx"),
+                F.array_sort(
+                    F.collect_set(
+                        F.when(F.col("ncol").isNotNull(), F.col("ncol"))
+                    )
+                ).alias("cols"),
             )
-            # mex over already-colored neighbor colors (winners of THIS
-            # round are non-adjacent, so reading last round's table is
-            # safe). NB: colored neighbors were pruned out of active_e
-            # in earlier rounds, so this join MUST read the full table.
-            nc = (
-                full_e.join(
-                    winners, full_e["src"] == winners["id"], "left_semi"
+            is_winner = F.col("color").isNull() & (
+                F.col("mx").isNull()
+                | (
+                    F.struct(
+                        F.col("p").alias("np"), F.col("id").alias("nid")
+                    )
+                    > F.col("mx")
                 )
-                .join(colored.select(F.col("id").alias("dst"), "color"), "dst")
-                .groupBy(F.col("src").alias("id"))
-                .agg(F.array_sort(F.collect_set("color")).alias("cols"))
             )
-            new_colors = winners.join(nc, "id", "left").select(
-                "id",
-                F.coalesce(
-                    F.aggregate(
-                        F.col("cols"),
-                        F.lit(0),
-                        lambda acc, x: F.when(x == acc, acc + 1).otherwise(
-                            acc
-                        ),
-                    ),
+            mex = F.coalesce(
+                F.aggregate(
+                    F.col("cols"),
                     F.lit(0),
-                ).alias("color"),
+                    lambda acc, x: F.when(x == acc, acc + 1).otherwise(acc),
+                ),
+                F.lit(0),
             )
-            # ONE action: the winner count materializes the round's new
-            # colors; the shrunken active_v/active_e are lazy-truncated
-            # and materialize inside the NEXT round's job
-            new_colors, row = materialize_with_agg(
-                new_colors, F.count("*").alias("n")
+            new_state = state.join(grouped, "id", "left").select(
+                "id",
+                "p",
+                F.when(is_winner, mex).otherwise(F.col("color")).alias(
+                    "color"
+                ),
+                (is_winner & F.col("color").isNull())
+                .cast("long")
+                .alias("won"),
             )
-            ckpt.log(rounds, {"algo": "coloring", "winners": int(row["n"])})
-            if row["n"] == 0:
+            # ONE action: the winner count materializes the round's state
+            new_state, row = materialize_with_agg(
+                new_state, F.sum("won").alias("n")
+            )
+            last_n = int(row["n"] or 0)
+            ckpt.log(rounds, {"algo": "coloring", "winners": last_n})
+            state = new_state.select("id", "p", "color")
+            if last_n == 0:
                 break
-            colored_parts.append(new_colors)
-            colored = (
-                colored.unionByName(new_colors) if rounds > 1 else new_colors
-            ).localCheckpoint(eager=False)
-            active_v = (
-                active_v.join(new_colors.select("id"), "id", "left_anti")
-            ).localCheckpoint(eager=False)
-            active_e = (
-                active_e.join(
-                    active_v, active_e["src"] == active_v["id"], "left_semi"
-                ).join(
-                    active_v.select(F.col("id").alias("d2")),
-                    active_e["dst"] == F.col("d2"),
-                    "left_semi",
-                )
-            ).localCheckpoint(eager=False)
     full_e.unpersist()
-    if not colored_parts:
-        return verts.select("id", F.lit(0).alias("color")).limit(0), rounds
-    out = colored_parts[0]
-    for part in colored_parts[1:]:
-        out = out.unionByName(part)
-    return out, rounds
+    if rounds == max_rounds and last_n > 0:
+        # exhaustion is not convergence (ADVICE r05): a caller must
+        # never mistake a partial coloring for a complete one
+        raise RuntimeError(
+            f"greedy_coloring: max_rounds={max_rounds} exhausted with "
+            f"{last_n} winners in the final round (coloring incomplete)"
+        )
+    return state.filter(F.col("color").isNotNull()).select("id", "color"), rounds
 
 
 def coloring_sql(n_rounds: int = 14) -> str:

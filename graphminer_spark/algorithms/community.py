@@ -148,8 +148,14 @@ def louvain_one_level(
         if weight_col
         else F.lit(1).cast("long")
     )
+    # the mover-class parity is a pure function of src — fold it into
+    # the persisted edge table ONCE instead of re-hashing every edge
+    # with md5 every round (measured: the per-round _prio evaluation
+    # was ~1M md5 calls per round on the bench graph)
     e = (
-        sym_edges.select("src", "dst", w.alias("w"))
+        sym_edges.select(
+            "src", "dst", w.alias("w"), (_prio(F.col("src")) % 2).alias("ps")
+        )
         .repartition("dst")
         .persist()
     )
@@ -161,10 +167,26 @@ def louvain_one_level(
         "id", "deg", F.col("id").alias("c"), (_prio(F.col("id")) % 2).alias("p")
     )
     comm = ckpt.save(comm, 0, {"algo": "louvain"})
+    # |V| from the materialized round-0 state: gates whether the
+    # per-round community dimension table (tot strength + size, ≤ |V|
+    # rows, shrinking with merges) is broadcast into the propose/commit
+    # joins or shuffle-joined. Broadcasting removes three exchanges per
+    # round; above the cap (a dimension table no executor should hold)
+    # the plan falls back to the shuffle join unchanged.
+    nv = comm.count()
+    broadcast_dims = nv <= 5_000_000
     with superstep_planning(sym_edges.sparkSession, s_total):
         for t in range(1, n_rounds + 1):
             par_t = (t - 1) % 2
-            tot = comm.groupBy("c").agg(F.sum("deg").alias("tot"))
+            # ONE community dimension table per round carrying both the
+            # total strength (propose phase) and the member count
+            # (commit guard) — the old plan aggregated comm twice
+            dims = comm.groupBy("c").agg(
+                F.sum("deg").alias("tot"), F.count("*").alias("csz")
+            )
+            if broadcast_dims:
+                dims = F.broadcast(dims)
+            tot = dims.select("c", "tot")
             # propose: k_vc over neighbor communities — computed only
             # for THIS round's parity class (the md5 parity is a pure
             # function of the id, so the restriction is a map-side
@@ -175,17 +197,23 @@ def louvain_one_level(
             nbr_c = comm.select(F.col("id").alias("dst"), F.col("c").alias("nc"))
             kvc = (
                 e.join(nbr_c, "dst")
-                .filter((_prio(F.col("src")) % 2) == par_t)
+                .filter(F.col("ps") == par_t)
                 .groupBy(F.col("src").alias("id"), F.col("nc").alias("c"))
                 .agg(F.sum("w").cast("long").alias("kvc"))
             )
             movers_cur = comm.filter(F.col("p") == par_t)
+            # repartition by id BEFORE the (id, c) aggregate: the
+            # hashpartitioning(id) layout satisfies the (id, c) grouping
+            # by the subset rule AND the downstream joins/argmax keyed
+            # by id — one exchange where the old plan shuffled by
+            # (id, c) and then again by id for the scored join
             cand = (
                 kvc.unionByName(
                     movers_cur.select(
                         "id", "c", F.lit(0).cast("long").alias("kvc")
                     )
                 )
+                .repartition("id")
                 .groupBy("id", "c")
                 .agg(F.sum("kvc").alias("kvc"))
             )
@@ -232,8 +260,10 @@ def louvain_one_level(
             # singleton↔singleton swap (Grappolo's heuristic): two
             # adjacent singletons each targeting the other oscillate
             # forever under synchronous updates, so singleton→singleton
-            # moves only go toward the SMALLER community label
-            csize = comm.groupBy("c").agg(F.count("*").alias("csz"))
+            # moves only go toward the SMALLER community label. The
+            # sizes come from the round's shared dims table (broadcast
+            # below the nv gate), not a second aggregation of comm.
+            csize = dims.select("c", "csz")
             movers = (
                 want.join(
                     csize.select(F.col("c").alias("c_cur"), F.col("csz").alias("sz_cur")),

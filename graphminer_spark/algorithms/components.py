@@ -193,30 +193,47 @@ def bfs_distances(
     spark = sym_edges.sparkSession
     d = spark.createDataFrame([(source, 0)], "id long, dist long")
     d = ckpt.save(d, 0, {"algo": "bfs"})
-    prev_sig = (1, 0)
+    # frontier-restricted expansion: unweighted BFS only ever improves a
+    # vertex once, so candidates need come only from vertices that
+    # changed last round — identical per-round distance tables (an
+    # unchanged u's dist+1 offer was already applied the round u
+    # settled), the oracle unroll matches round-for-round, and each
+    # round joins one frontier's edges instead of the whole reached set
+    frontier = d
     with superstep_planning(spark, sym_edges.count()):
         for it in range(1, max_iter + 1):
-            cand = (
-                d.join(sym_edges.select(F.col("src").alias("id"), "dst"), "id")
-                .select(
-                    F.col("dst").alias("id"), (F.col("dist") + 1).alias("dist")
+            cand_min = (
+                frontier.join(
+                    sym_edges.select(F.col("src").alias("id"), "dst"), "id"
                 )
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.min(F.col("dist") + 1).alias("nd"))
             )
             new_d = (
-                d.unionByName(cand)
-                .groupBy("id")
-                .agg(F.min("dist").alias("dist"))
+                d.join(cand_min.hint("shuffle_hash"), "id", "full_outer")
+                .select(
+                    "id",
+                    F.least(
+                        F.coalesce("dist", F.col("nd")),
+                        F.coalesce("nd", F.col("dist")),
+                    ).alias("dist"),
+                    F.coalesce(
+                        F.col("dist").isNull()
+                        | (F.col("nd") < F.col("dist")),
+                        F.lit(False),
+                    ).alias("chg"),
+                )
             )
-            # fixpoint signature rides the materializing aggregate — ONE
+            # changed-count rides the materializing aggregate — ONE
             # action per round
-            d, row = ckpt.save_and_agg(
+            state, row = ckpt.save_and_agg(
                 new_d,
                 it,
                 {"algo": "bfs"},
-                [F.count("*").alias("n"), F.sum("dist").alias("s")],
+                [F.sum(F.col("chg").cast("long")).alias("changed")],
             )
-            sig = (row["n"], row["s"] or 0)
-            if sig == prev_sig:
+            d = state.select("id", "dist")
+            if not int(row["changed"] or 0):
                 break
-            prev_sig = sig
+            frontier = state.filter("chg").select("id", "dist")
     return d

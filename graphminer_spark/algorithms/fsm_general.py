@@ -419,8 +419,14 @@ def _mine(sym_edges, labeled_vertices, k, minsup=None, minsup_fn=None,
     m_edges = lab_sym.count()
     if minsup is None:
         minsup = minsup_fn(m_edges)
+    # dedup on the (src, dst) long pair BEFORE building the array
+    # payload: hash-aggregatable long keys instead of the array-key
+    # SortAggregate (sort + first()) the old dropDuplicates(["es"])
+    # compiled to — identical row set (labels are functionally
+    # determined by the endpoint ids via the label join)
     emb = (
         lab_sym.filter(F.col("src") < F.col("dst"))
+        .dropDuplicates(["src", "dst"])
         .select(
             F.array(
                 F.struct(F.col("src").alias("u"), F.col("dst").alias("v"))
@@ -438,7 +444,6 @@ def _mine(sym_edges, labeled_vertices, k, minsup=None, minsup_fn=None,
                 )
             ).alias("vlist"),
         )
-        .dropDuplicates(["es"])
     )
     sid_edges: dict[str, tuple] = {}
     prev = None
@@ -489,14 +494,22 @@ def _mine(sym_edges, labeled_vertices, k, minsup=None, minsup_fn=None,
             if prev is not None:
                 prev.unpersist()
             prev = canon
-            if stats is not None:
-                stats[f"level{level}_embeddings"] = canon.count()
-            # tiny collect: tighten next level's successor enumeration
-            # to structures the data actually realized
-            realized = {
-                qmap[r["qkey"]]
-                for r in canon.select("qkey").distinct().collect()
-            }
+            # ONE scan of the checkpointed level serves both the
+            # realized-structure set (tightens next level's successor
+            # enumeration) and the per-level row count (bench stats) —
+            # the old shape paid a separate full count() job per level.
+            # At the last level the structures feed nothing, so the
+            # scan runs only when stats were requested.
+            realized: set[tuple] = set()
+            if level < k or stats is not None:
+                qrows = canon.groupBy("qkey").agg(
+                    F.count("*").alias("n")
+                ).collect()
+                realized = {qmap[r["qkey"]] for r in qrows}
+                if stats is not None:
+                    stats[f"level{level}_embeddings"] = sum(
+                        int(r["n"]) for r in qrows
+                    )
             sup = (
                 _level_supports(canon.join(F.broadcast(smap), "qkey"))
                 .filter(F.col("support") >= minsup)
@@ -504,8 +517,8 @@ def _mine(sym_edges, labeled_vertices, k, minsup=None, minsup_fn=None,
             )
             if stats is not None:
                 stats[f"level{level}_frequent"] = sup.count()
-            structs = _successor_structures(realized)
             if level < k:
+                structs = _successor_structures(realized)
                 # anti-monotone prune: only embeddings of frequent patterns
                 # stay on the frontier
                 emb = (

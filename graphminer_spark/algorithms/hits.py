@@ -37,8 +37,14 @@ def hits(
     ckpt = checkpointer or CheckpointManager(None)
     verts = vertices.select("id").repartition("id").persist()
     n = verts.count()
-    e = edges.select("src", "dst").persist()
-    m = e.count()
+    # the two half-steps join on DIFFERENT keys (src for the authority
+    # gather, dst for the hub gather) — persist one copy per layout so
+    # neither half-step re-shuffles the edge table (the score side is
+    # one row per vertex and already arrives partitioned by id)
+    e_src = edges.select("src", "dst").repartition("src").persist()
+    e_dst = edges.select("src", "dst").repartition("dst").persist()
+    m = e_src.count()
+    e_dst.count()
 
     # saved in the SAME (id, auth, h_raw) layout as every fused
     # iteration (uniform scores sum to 1, so h_raw IS the hub score);
@@ -56,7 +62,7 @@ def hits(
     with superstep_planning(edges.sparkSession, m):
         for it in range(1, n_iter + 1):
             auth_raw = (
-                e.join(
+                e_src.join(
                     state.select(F.col("id").alias("src"), "hub"), "src"
                 )
                 .groupBy(F.col("dst").alias("id"))
@@ -73,7 +79,7 @@ def hits(
                 (F.coalesce("a_raw", F.lit(0.0)) / a_sum).alias("auth"),
             )
             hub_raw = (
-                e.join(
+                e_dst.join(
                     with_auth.select(F.col("id").alias("dst"), "auth"), "dst"
                 )
                 .groupBy(F.col("src").alias("id"))
@@ -97,7 +103,8 @@ def hits(
                 "auth",
             )
     verts.unpersist()
-    e.unpersist()
+    e_src.unpersist()
+    e_dst.unpersist()
     return state
 
 
@@ -132,13 +139,13 @@ def salsa(
     n = verts.count()
     od = edges.groupBy("src").agg(F.count("*").alias("od"))
     idg = edges.groupBy("dst").agg(F.count("*").alias("idg"))
-    e = (
-        edges.select("src", "dst")
-        .join(od, "src")
-        .join(idg, "dst")
-        .persist()
-    )
-    m = e.count()
+    ew = edges.select("src", "dst").join(od, "src").join(idg, "dst")
+    # one persisted copy per half-step join key (see `hits`): the
+    # degree-annotated edge table never re-shuffles inside the loop
+    e_src = ew.repartition("src").persist()
+    e_dst = ew.repartition("dst").persist()
+    m = e_src.count()
+    e_dst.count()
     state = ckpt.save(
         verts.select(
             "id", F.lit(1.0 / n).alias("hub"), F.lit(1.0 / n).alias("auth")
@@ -149,7 +156,7 @@ def salsa(
     with superstep_planning(edges.sparkSession, m):
         for it in range(1, n_iter + 1):
             a_raw = (
-                e.join(state.select(F.col("id").alias("src"), "hub"), "src")
+                e_src.join(state.select(F.col("id").alias("src"), "hub"), "src")
                 .groupBy(F.col("dst").alias("id"))
                 .agg(F.sum(F.col("hub") / F.col("od")).alias("a_raw"))
             )
@@ -164,7 +171,7 @@ def salsa(
                 (F.coalesce("a_raw", F.lit(0.0)) / a_sum).alias("auth"),
             )
             h_raw = (
-                e.join(
+                e_dst.join(
                     with_auth.select(F.col("id").alias("dst"), "auth"), "dst"
                 )
                 .groupBy(F.col("src").alias("id"))
@@ -183,7 +190,8 @@ def salsa(
                 "id", (F.col("h_raw") / h_sum).alias("hub"), "auth"
             )
     verts.unpersist()
-    e.unpersist()
+    e_src.unpersist()
+    e_dst.unpersist()
     return state
 
 

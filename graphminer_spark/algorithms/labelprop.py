@@ -40,7 +40,11 @@ def label_propagation(
     """LP over a symmetric edge table. ``until_stable`` stops early when
     no label changes (convergence metric = changed-vertex count)."""
     ckpt = checkpointer or CheckpointManager(None)
-    e = sym_edges.select("src", "dst").repartition("dst").persist()
+    # partitioned by the JOIN key (src): the per-superstep label fetch
+    # then reuses this layout with no exchange on the edge side — the
+    # old repartition("dst") layout matched neither the join key nor
+    # (alone) the aggregate and re-shuffled the edge table every round
+    e = sym_edges.select("src", "dst").repartition("src").persist()
     m = e.count()
     labels = vertices.select("id", F.col("id").alias("label"))
     labels = ckpt.save(labels, 0, {"algo": "lp"})
@@ -49,8 +53,18 @@ def label_propagation(
     it = 0
     with superstep_planning(sym_edges.sparkSession, m):
         for it in range(1, n_iter + 1):
+            # ONE exchange per superstep: the edge⋈labels join reuses
+            # both persisted layouts (e by src, labels by id from the
+            # previous round's join output), the explicit repartition
+            # by dst is the superstep's single shuffle, and BOTH
+            # aggregations reuse it — hashpartitioning(dst) satisfies
+            # the (dst, label) grouping by the subset rule, and the
+            # argmax groups by dst itself. (The old plan shuffled three
+            # times: edges to the join key, counts to (dst, label),
+            # then counts again to dst.)
             counts = (
                 e.join(labels, e["src"] == labels["id"])
+                .repartition("dst")
                 .groupBy(F.col("dst"), F.col("label"))
                 .agg(F.count("*").alias("cnt"))
             )

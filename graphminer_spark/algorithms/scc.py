@@ -56,29 +56,41 @@ def _min_label_fixpoint(
     lbl, row = ckpt.save_and_agg(
         lbl, 0, {"algo": algo}, [F.sum("lbl").alias("s")]
     )
-    prev = row["s"] or 0
+    # frontier-restricted propagation: labels are monotone
+    # non-increasing, so a push from an unchanged u repeats an offer
+    # already applied — per-round label tables are IDENTICAL to the
+    # full-relaxation loop (the oracle is reachability-based and
+    # algorithm-independent anyway) while each round joins only the
+    # out-edges of last round's changed vertices
+    frontier = lbl
     for it in range(1, max_iter + 1):
         pushed = (
-            dedges.join(lbl.select(F.col("id").alias("src"), "lbl"), "src")
+            frontier.join(
+                dedges.select("src", "dst"), frontier["id"] == dedges["src"]
+            )
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min("lbl").alias("in_lbl"))
         )
         new_lbl = (
-            lbl.join(pushed, "id", "left")
+            lbl.join(pushed.hint("shuffle_hash"), "id", "left")
             .select(
                 "id",
                 F.least(
                     "lbl", F.coalesce("in_lbl", F.col("lbl"))
                 ).alias("lbl"),
+                F.coalesce(
+                    F.col("in_lbl") < F.col("lbl"), F.lit(False)
+                ).alias("chg"),
             )
         )
-        lbl, row = ckpt.save_and_agg(
-            new_lbl, it, {"algo": algo}, [F.sum("lbl").alias("s")]
+        state, row = ckpt.save_and_agg(
+            new_lbl, it, {"algo": algo},
+            [F.sum(F.col("chg").cast("long")).alias("changed")],
         )
-        cur = row["s"] or 0
-        if cur == prev:
+        lbl = state.select("id", "lbl")
+        if not int(row["changed"] or 0):
             break
-        prev = cur
+        frontier = state.filter("chg").select("id", "lbl")
     return lbl
 
 

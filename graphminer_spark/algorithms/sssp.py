@@ -79,30 +79,51 @@ def sssp(
     m = ew.count()
     d = spark.createDataFrame([(source, 0)], "id long, dist long")
     d = ckpt.save(d, 0, {"algo": "sssp"})
-    prev_sig = (1, 0)
+    # frontier-restricted relaxation (the queue form of Bellman–Ford):
+    # only vertices whose distance improved last round emit candidates.
+    # The per-round distance table is IDENTICAL to the full relaxation
+    # — a candidate from an unchanged u, dist_{t-1}(u) + w, was already
+    # offered the round u last changed and applied by monotonicity — so
+    # the unrolled oracle still matches round-for-round, while each
+    # round joins only the frontier's edges instead of all of them
+    # (measured: the frontier falls below 1% of |V| within a few rounds
+    # on the sf0.1 divisor-6 graph; full-relax rounds were the entire
+    # cost of the 8.7 s bench row).
+    frontier = d
     with superstep_planning(spark, m):
         for it in range(1, max_iter + 1):
-            cand = d.join(
-                ew.select(F.col("src").alias("id"), "dst", "w"), "id"
-            ).select(
-                F.col("dst").alias("id"),
-                (F.col("dist") + F.col("w")).alias("dist"),
+            cand_min = (
+                frontier.join(
+                    ew.select(F.col("src").alias("id"), "dst", "w"), "id"
+                )
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.min(F.col("dist") + F.col("w")).alias("nd"))
             )
             new_d = (
-                d.unionByName(cand)
-                .groupBy("id")
-                .agg(F.min("dist").alias("dist"))
+                d.join(cand_min.hint("shuffle_hash"), "id", "full_outer")
+                .select(
+                    "id",
+                    F.least(
+                        F.coalesce("dist", F.col("nd")),
+                        F.coalesce("nd", F.col("dist")),
+                    ).alias("dist"),
+                    F.coalesce(
+                        F.col("dist").isNull()
+                        | (F.col("nd") < F.col("dist")),
+                        F.lit(False),
+                    ).alias("chg"),
+                )
             )
-            d, row = ckpt.save_and_agg(
+            state, row = ckpt.save_and_agg(
                 new_d,
                 it,
                 {"algo": "sssp"},
-                [F.count("*").alias("n"), F.sum("dist").alias("s")],
+                [F.sum(F.col("chg").cast("long")).alias("changed")],
             )
-            sig = (row["n"], row["s"] or 0)
-            if sig == prev_sig:
+            d = state.select("id", "dist")
+            if not int(row["changed"] or 0):
                 break
-            prev_sig = sig
+            frontier = state.filter("chg").select("id", "dist")
     ew.unpersist()
     return d
 
