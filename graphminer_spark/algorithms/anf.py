@@ -120,15 +120,21 @@ def neighborhood_function(
                     for r in range(k)
                 ],
             )
-            # cut superstep lineage (same lifecycle as the PR loop)
-            .localCheckpoint(eager=True)
+            # LAZY lineage cut: the loop has no convergence check, so
+            # nothing needs a per-superstep barrier — all h supersteps
+            # and every per-radius curve aggregate materialize inside
+            # the ONE final action (the checkpoint blocks dedup the
+            # shared states, and independent curve aggregates schedule
+            # concurrently with the next superstep's stages instead of
+            # serializing behind h job barriers)
+            .localCheckpoint(eager=False)
         )
         per_h.append(curve_row(h, state))
     out = per_h[0]
     for df in per_h[1:]:
         out = out.unionAll(df)
-    # curve rows are already materialized scalar aggregates of the
-    # eagerly-checkpointed states — safe to release the edge cache
+    # one materializing action for the whole curve; after it the curve
+    # rows are plain scalars — safe to release the edge cache
     out = out.localCheckpoint(eager=True)
     edges.unpersist()
     return out

@@ -67,7 +67,7 @@ def greedy_coloring(
         superstep_planning,
     )
 
-    ckpt = checkpointer or CheckpointManager(None)
+    ckpt = checkpointer or CheckpointManager(None, release_chain=True)
     # ONE vertex-state table (id, p, color-or-NULL) replaces the four
     # per-round tables of the r05 shape (active_v / active_e / colored
     # / new_colors): a single dst-keyed join of the static edge table
@@ -131,7 +131,7 @@ def greedy_coloring(
                 ),
                 F.lit(0),
             )
-            new_state = state.join(grouped, "id", "left").select(
+            new_state = state.join(grouped.hint("shuffle_hash"), "id", "left").select(
                 "id",
                 "p",
                 F.when(is_winner, mex).otherwise(F.col("color")).alias(
@@ -145,6 +145,7 @@ def greedy_coloring(
             new_state, row = materialize_with_agg(
                 new_state, F.sum("won").alias("n")
             )
+            ckpt._note(new_state)  # linear chain: free states 2 rounds old
             last_n = int(row["n"] or 0)
             ckpt.log(rounds, {"algo": "coloring", "winners": last_n})
             state = new_state.select("id", "p", "color")

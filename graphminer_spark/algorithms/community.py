@@ -142,7 +142,7 @@ def louvain_one_level(
     from graphminer_spark.algorithms.mis import _prio
     from graphminer_spark.checkpoint import CheckpointManager, superstep_planning
 
-    ckpt = checkpointer or CheckpointManager(None)
+    ckpt = checkpointer or CheckpointManager(None, release_chain=True)
     w = (
         F.col(weight_col).cast("long")
         if weight_col
@@ -221,7 +221,7 @@ def louvain_one_level(
                 cand.join(
                     movers_cur.select(
                         "id", "deg", F.col("c").alias("c_cur")
-                    ),
+                    ).hint("shuffle_hash"),
                     "id",
                 )
                 .join(tot, "c")
@@ -283,7 +283,7 @@ def louvain_one_level(
                 .select("id", "c_new")
             )
             comm = ckpt.save(
-                comm.join(movers, "id", "left").select(
+                comm.join(movers.hint("shuffle_hash"), "id", "left").select(
                     "id",
                     "deg",
                     F.coalesce("c_new", F.col("c")).alias("c"),

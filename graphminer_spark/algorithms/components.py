@@ -83,7 +83,7 @@ def connected_components(
     treats edges as undirected. ``vertices(id)`` optionally supplies
     isolated vertices (label = self).
     """
-    ckpt = checkpointer or CheckpointManager(None)
+    ckpt = checkpointer or CheckpointManager(None, release_chain=True)
     edges = (
         sym_edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
         .filter(F.col("u") != F.col("v"))
@@ -131,7 +131,7 @@ def cc_hashmin(
     min_{u∈N(v)} label(u)). Kept as an independent implementation for
     cross-checking (the reference ships ≥2 kernels per workload for the
     same reason — e.g. ``src/triangle/omp_base.cc`` vs ``gpu_base.cu``)."""
-    ckpt = checkpointer or CheckpointManager(None)
+    ckpt = checkpointer or CheckpointManager(None, release_chain=True)
     labels = vertices.select("id", F.col("id").alias("component"))
     labels = ckpt.save(labels, 0, {"algo": "cc_hashmin"})
     with superstep_planning(sym_edges.sparkSession, sym_edges.count()):
@@ -189,7 +189,7 @@ def bfs_distances(
     the source, each one join + one aggregate — the textbook Pregel
     BFS as DataFrames.
     """
-    ckpt = checkpointer or CheckpointManager(None)
+    ckpt = checkpointer or CheckpointManager(None, release_chain=True)
     spark = sym_edges.sparkSession
     d = spark.createDataFrame([(source, 0)], "id long, dist long")
     d = ckpt.save(d, 0, {"algo": "bfs"})

@@ -34,7 +34,7 @@ def hits(
     one schema, no per-iteration branching."""
     from graphminer_spark.checkpoint import materialize_with_agg
 
-    ckpt = checkpointer or CheckpointManager(None)
+    ckpt = checkpointer or CheckpointManager(None, release_chain=True)
     verts = vertices.select("id").repartition("id").persist()
     n = verts.count()
     # the two half-steps join on DIFFERENT keys (src for the authority
@@ -72,6 +72,7 @@ def hits(
                 state.select("id", "hub").join(auth_raw, "id", "left"),
                 F.sum("a_raw").alias("s"),
             )
+            ckpt._note(half)  # read only by this iteration's full step
             a_sum = row["s"] or 1.0
             with_auth = half.select(
                 "id",
@@ -134,7 +135,7 @@ def salsa(
     """
     from graphminer_spark.checkpoint import materialize_with_agg
 
-    ckpt = checkpointer or CheckpointManager(None)
+    ckpt = checkpointer or CheckpointManager(None, release_chain=True)
     verts = vertices.select("id").repartition("id").persist()
     n = verts.count()
     od = edges.groupBy("src").agg(F.count("*").alias("od"))
@@ -164,6 +165,7 @@ def salsa(
                 state.select("id", "hub").join(a_raw, "id", "left"),
                 F.sum("a_raw").alias("s"),
             )
+            ckpt._note(half)  # read only by this iteration's full step
             a_sum = row["s"] or 1.0
             with_auth = half.select(
                 "id",

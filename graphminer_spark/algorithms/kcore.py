@@ -26,7 +26,7 @@ def kcore(
     max_iter: int = 100,
 ) -> DataFrame:
     """Vertices of the k-core → ``(id,)``."""
-    ckpt = checkpointer or CheckpointManager(None)
+    ckpt = checkpointer or CheckpointManager(None, release_chain=True)
     # ONE action per round: the fixpoint check (edge count unchanged)
     # rides the same aggregate that materializes the round's state
     edges, row = ckpt.save_and_agg(
@@ -83,10 +83,18 @@ def core_numbers_hindex(
     can bound ahead of time — changed counts stay 1-27% of |V| for
     most of the 15-round trajectory measured at sf0.1.
     """
-    ckpt = checkpointer or CheckpointManager(None)
+    ckpt = checkpointer or CheckpointManager(None, release_chain=True)
     from pyspark.sql import Window
 
-    edges = sym_edges.select("src", "dst")
+    # edge table persisted in the per-round JOIN key's layout (dst):
+    # the neighbor-value fetch then starts exchange-free every round
+    # (the core-value side arrives partitioned by id from the previous
+    # round's state), and the single explicit repartition by src below
+    # is the round's only shuffle — the (src, core) aggregation, the
+    # src-window and the final per-src argmax all reuse it via the
+    # subset rule. The old plan re-shuffled the edge table and the
+    # aggregate every round (3 exchanges).
+    edges = sym_edges.select("src", "dst").repartition("dst").persist()
     c = (
         edges.groupBy(F.col("src").alias("id"))
         .agg(F.count("*").alias("core"))
@@ -97,6 +105,7 @@ def core_numbers_hindex(
         for it in range(1, max_iter + 1):
             vals = (
                 edges.join(c.select(F.col("id").alias("dst"), "core"), "dst")
+                .repartition("src")
                 .groupBy("src", "core")
                 .agg(F.count("*").alias("n"))
             )
@@ -115,7 +124,7 @@ def core_numbers_hindex(
             # h(v) can only decrease; carry prev inside the state AND fold
             # the changed-count into the materializing aggregate — ONE
             # driver action per round (same fusion as pagerank)
-            new_c = c.join(h, "id").select(
+            new_c = c.join(h.hint("shuffle_hash"), "id").select(
                 "id", F.col("h").alias("core"), F.col("core").alias("prev")
             )
             new_c, row = ckpt.save_and_agg(
@@ -131,6 +140,7 @@ def core_numbers_hindex(
             c = new_c.select("id", "core")
             if not row["changed"]:
                 break
+    edges.unpersist()
     return c
 
 

@@ -41,13 +41,19 @@ from graphminer_spark.checkpoint import CheckpointManager, superstep_planning
 from graphminer_spark.graph.build import build_dag
 
 
-def _support(dag: DataFrame) -> DataFrame:
+def _support(dag: DataFrame, broadcast_dag: bool = False) -> DataFrame:
     """Per-edge triangle support over an oriented edge set →
     ``(src, dst, cnt)`` keyed by the canonical pair; edges in no
-    triangle are absent."""
+    triangle are absent. ``broadcast_dag`` broadcasts the wedge/close
+    probe sides (the caller gates it on the KNOWN surviving-edge count
+    — checkpointed states have no stats, so the planner alone would
+    never pick the broadcast plan the ``tc_total`` cache gets)."""
     e1 = dag.select(F.col("src").alias("u"), F.col("dst").alias("v"))
     e2 = dag.select(F.col("src").alias("v"), F.col("dst").alias("w"))
     e3 = dag.select(F.col("src").alias("u"), F.col("dst").alias("w"))
+    if broadcast_dag:
+        e2 = F.broadcast(e2)
+        e3 = F.broadcast(e3)
     tri = e1.join(e2, "v").join(e3, ["u", "w"])
     pairs = tri.select(
         F.explode(
@@ -85,7 +91,7 @@ def ktruss(
     und = sym_edges.filter(F.col("src") < F.col("dst")).select("src", "dst")
     if k <= 2:
         return und
-    ckpt = checkpointer or CheckpointManager(None)
+    ckpt = checkpointer or CheckpointManager(None, release_chain=True)
     und, row = ckpt.save_and_agg(
         und, 0, {"algo": f"ktruss{k}"}, [F.count("*").alias("n")]
     )
@@ -103,16 +109,28 @@ def ktruss(
         F.greatest("src", "dst").alias("kdst"),
     )
     dag0 = ckpt.save(dag0, 0, {"algo": f"ktruss{k}_dag"})
+    # dag0 (and the round-0 edge set) are read by EVERY round — keep
+    # them out of the release chain; the per-round survivor states
+    # tracked from here on are strictly linear
+    ckpt.detach_chain()
+    # surviving-edge count is KNOWN before every round (it rides the
+    # materializing aggregate) — below the cap the whole round runs as
+    # broadcast joins with zero wedge shuffles, the same plan shape the
+    # persisted tc_total cache gets from the planner; above it the
+    # shuffle plan is unchanged (a 10^9-edge truss can't broadcast)
+    BCAST_MAX_EDGES = 2_000_000
     with superstep_planning(sym_edges.sparkSession, old_n * 2):
         for it in range(1, max_iter + 1):
+            small = old_n <= BCAST_MAX_EDGES
+            surv = und.select(
+                F.col("src").alias("ksrc"), F.col("dst").alias("kdst")
+            )
             dag = dag0.join(
-                und.select(
-                    F.col("src").alias("ksrc"), F.col("dst").alias("kdst")
-                ),
+                F.broadcast(surv) if small else surv,
                 ["ksrc", "kdst"],
                 "left_semi",
             ).select("src", "dst")
-            sup = _support(dag)
+            sup = _support(dag, broadcast_dag=small)
             new_und = (
                 und.join(sup, ["src", "dst"])
                 .filter(F.col("cnt") >= k - 2)

@@ -39,7 +39,7 @@ def label_propagation(
 ) -> LabelPropResult:
     """LP over a symmetric edge table. ``until_stable`` stops early when
     no label changes (convergence metric = changed-vertex count)."""
-    ckpt = checkpointer or CheckpointManager(None)
+    ckpt = checkpointer or CheckpointManager(None, release_chain=True)
     # partitioned by the JOIN key (src): the per-superstep label fetch
     # then reuses this layout with no exchange on the edge side — the
     # old repartition("dst") layout matched neither the join key nor
@@ -81,7 +81,7 @@ def label_propagation(
             # not a new⋈old join, which would both add two exchanges and
             # recompute the superstep a second time before the save.
             if until_stable:
-                new = labels.join(best, "id", "left").select(
+                new = labels.join(best.hint("shuffle_hash"), "id", "left").select(
                     "id",
                     F.coalesce("new_label", F.col("label")).alias("label"),
                     F.col("label").alias("prev_label"),
@@ -107,7 +107,7 @@ def label_propagation(
                     converged = True
                     break
             else:
-                new = labels.join(best, "id", "left").select(
+                new = labels.join(best.hint("shuffle_hash"), "id", "left").select(
                     "id", F.coalesce("new_label", F.col("label")).alias("label")
                 )
                 labels = ckpt.save(new, it, {"algo": "lp"})

@@ -77,7 +77,7 @@ def pagerank(
     fewer barrier jobs; plan depth stays bounded at K supersteps.
     """
     spark = edges.sparkSession
-    ckpt = checkpointer or CheckpointManager(None)
+    ckpt = checkpointer or CheckpointManager(None, release_chain=True)
     n = vertices.count()
     # verts(id, out_deg) hash-partitioned by id and persisted: the per-
     # superstep rank-update join reuses this layout with NO exchange on
@@ -241,7 +241,7 @@ def personalized_pagerank(
     join: the teleport term is a per-row expression.
     """
     spark = edges.sparkSession
-    ckpt = checkpointer or CheckpointManager(None)
+    ckpt = checkpointer or CheckpointManager(None, release_chain=True)
     # distinct() so duplicate ids in an arbitrary caller-supplied source
     # set can't fan out vertex rows through the left join (which would
     # inflate ns and corrupt rank mass)
@@ -318,7 +318,7 @@ def pagerank_weighted(
     uniform. Identical superstep shape to ``pagerank`` — the weight
     ratio rides along the same join, no extra shuffle.
     """
-    ckpt = checkpointer or CheckpointManager(None)
+    ckpt = checkpointer or CheckpointManager(None, release_chain=True)
     n = vertices.count()
     w_out = wedges.groupBy(F.col("src").alias("id")).agg(
         F.sum("w").alias("w_out")
@@ -396,7 +396,7 @@ def pagerank_csr(
     import numpy as np
 
     spark = csr.sparkSession
-    ckpt = checkpointer or CheckpointManager(None)
+    ckpt = checkpointer or CheckpointManager(None, release_chain=True)
     n = vertices.count()
     csr = csr.persist()
     csr.count()

@@ -91,6 +91,10 @@ def _min_label_fixpoint(
         if not int(row["changed"] or 0):
             break
         frontier = state.filter("chg").select("id", "lbl")
+    # the returned fixpoint outlives the NEXT fixpoint's loop (fwd is
+    # joined with bwd after bwd finishes) — stop tracking it so the
+    # shared manager's release chain can never free it
+    ckpt.detach_chain()
     return lbl
 
 
@@ -101,7 +105,7 @@ def strongly_connected_components(
 ) -> DataFrame:
     """``(id, scc)`` — scc = min vertex id of each strongly connected
     component, over all vertices incident to ``dedges(src, dst)``."""
-    ckpt = checkpointer or CheckpointManager(None)
+    ckpt = checkpointer or CheckpointManager(None, release_chain=True)
     spark = dedges.sparkSession
     edges = dedges.select("src", "dst").localCheckpoint(eager=True)
     verts = (

@@ -73,7 +73,7 @@ def sssp(
 ) -> DataFrame:
     """Weighted shortest-path distances from ``source`` →
     ``(id, dist)`` over reachable vertices."""
-    ckpt = checkpointer or CheckpointManager(None)
+    ckpt = checkpointer or CheckpointManager(None, release_chain=True)
     spark = sym_edges.sparkSession
     ew = weighted_edges(sym_edges).repartition("src").persist()
     m = ew.count()

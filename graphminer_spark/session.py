@@ -107,6 +107,13 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # allow shuffled-hash join where its size conditions hold
+        # instead of always sorting both sides (guide-recommended
+        # baseline): the pattern-join wedge closes carry two multi-
+        # million-row sides whose sorts are pure overhead — pentagon
+        # best-of-3 7.8 s (SMJ) vs 6.0 s (SHJ) at sf0.1; the planner's
+        # build-side size conditions and AQE skew splitting still apply
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         # local mode: shuffle files on tmpfs, not the root disk — a
         # single-host stand-in for a cluster's node-local NVMe; without
         # this, multi-GB shuffles serialize on one spindle and core
