@@ -50,6 +50,14 @@ def _jit_warmup(spark: SparkSession, budget_s: float) -> None:
     sc.setJobDescription("session warmup (JIT)")
     i = 0
     try:
+        # one tiny Arrow round-trip first: forks the Python workers and
+        # compiles the Arrow serialization path, which the ingest /
+        # multimodal operators otherwise pay on their first batch
+        def _ident(it):
+            for pdf in it:
+                yield pdf
+
+        spark.range(0, 1000, 1, 4).mapInPandas(_ident, "id long").count()
         while time.monotonic() < deadline:
             a = spark.range(0, 100_000, 1, 8).select(
                 (F.col("id") % 1000).alias("k"),
